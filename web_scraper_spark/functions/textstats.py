@@ -1,0 +1,113 @@
+"""Text-analysis functions for web-scale corpus curation — pure Columns.
+
+Beyond the reference's operator set: the standard text-quality toolkit a
+training-data pipeline runs over a Common-Crawl-style ``documents`` /
+``pages.text`` column. Everything is native Spark SQL expressions
+(codegen'd, no Python), designed so an equivalent ANSI-SQL oracle exists
+for the driver's DuckDB cross-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "stopword_count",
+    "lang_id",
+    "quality_features",
+    "quality_score",
+    "fingerprint",
+    "EN_STOPWORDS",
+    "TR_STOPWORDS",
+]
+
+# tiny deterministic stopword inventories for the n-gram/stopword
+# language heuristic (public-knowledge lists)
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"]
+TR_STOPWORDS = ["ve", "bir", "bu", "da", "de", "için", "ile", "olarak", "en", "çok"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (portable to DuckDB
+    ``regexp_split_to_array`` + ``list_filter``)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, or a
+    single non-space symbol each count as one token (a BPE-flavored
+    regex segmentation, deterministic and SQL-portable)."""
+    stripped = F.regexp_replace(text, r"[A-Za-z]+|[0-9]+", "x")
+    # every letter-run/digit-run collapsed to one char; remaining
+    # non-space chars are symbol tokens
+    return F.length(F.regexp_replace(stripped, r"\s+", ""))
+
+
+def stopword_count(text: Column, stopwords: list[str]) -> Column:
+    lowered = F.lower(text)
+    toks = tokens(lowered)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language guess: 'en' vs 'tr' vs 'und'."""
+    en = stopword_count(text, EN_STOPWORDS)
+    tr = stopword_count(text, TR_STOPWORDS)
+    return (
+        F.when((en == 0) & (tr == 0), F.lit("und"))
+        .when(en >= tr, F.lit("en"))
+        .otherwise(F.lit("tr"))
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """The classic quality-scoring feature set (length / punctuation /
+    stopword / alpha ratios)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_stop = stopword_count(text, EN_STOPWORDS)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_toks = F.greatest(n_tokens, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(n_chars / safe_toks.cast("double"), 4),
+        "alpha_ratio": F.round(n_alpha / safe_chars.cast("double"), 4),
+        "punct_ratio": F.round(n_punct / safe_chars.cast("double"), 4),
+        "stopword_ratio": F.round(n_stop / safe_toks.cast("double"), 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0,1]: rewards alpha-heavy, stopword-
+    bearing prose of reasonable length; penalizes punctuation soup.
+    Deterministic linear blend — the thresholds are the operator, not
+    the tuning."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * length_term
+        + F.lit(0.3) * f["alpha_ratio"]
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * 3, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over case- and whitespace-normalized
+    text (md5 hex is byte-identical across Spark and DuckDB, making the
+    fingerprint engine-portable)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)

