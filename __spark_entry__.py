@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl-scheduling pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` — the operator battery from
+web_scraper_spark.queries (one entry per implemented SURVEY.md §2
+operator + the training-data pipeline extensions), with DuckDB oracle
+SQL for every SQL-expressible op.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from web_scraper_spark.queries import battery, battery_text  # noqa: E402,F401  (populates REGISTRY)
+from web_scraper_spark.queries.battery import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one politeness-scheduled crawl selection over sf0.001.
+
+    Synthesizes a URL frontier from the events table, canonicalizes +
+    hashes, drops seen URLs (anti-join), applies per-host politeness
+    budgets and the global ordered-limit, and returns the per-host
+    selection metrics — the §3.1 round pipeline in miniature.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf_dir = "/root/testdata/sf0.001"
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.functions.urls import canonicalize_url, url_hash
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cand = ev.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 20).alias("host_id"),
+        canonicalize_url(
+            F.concat(
+                F.lit("HTTPS://Host"),
+                (F.col("user_id") % 20).cast("string"),
+                F.lit(".Example.COM:443/e/"),
+                F.col("event_id").cast("string"),
+                F.lit("?b=2&a=1#frag"),
+            )
+        ).alias("url"),
+    ).withColumn("url_hash", url_hash(F.col("url")))
+
+    seen = cand.filter(F.col("event_id") % 5 == 0).select("url_hash")
+    unseen = cand.join(seen, "url_hash", "left_anti")
+
+    w = Window.partitionBy("host_id").orderBy("ts", "event_id")
+    selected = (
+        unseen.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .orderBy("ts", "event_id")
+        .limit(300)
+    )
+    return (
+        selected.groupBy("host_id")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("host_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

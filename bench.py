@@ -1,0 +1,161 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Measures (a) the primary metric: a full politeness-scheduled crawl
+round (frontier → robots → seen anti-join → politeness select → fetch
+join → Arrow extraction → discovery merge → snapshot commit) over a
+synthetic world sized by BENCH_HOSTS/BENCH_YACHTS, and (b) headline
+battery queries at $SPARK_GRAFT_SF_DIR.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., "urls_per_sec": ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_HOSTS/BENCH_YACHTS (world size),
+BENCH_CACHE (fixture parquet cache dir, default /tmp/wss_bench_cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "politeness_budget",
+    "seen_antijoin",
+    "url_canonicalize",
+    "latest_per_key",
+    "price_compare",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "cosine_topk",
+    "quality_score",
+    "token_count",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_volume",
+    "events_hour_window",
+]
+
+
+def build_bench_world(n_hosts: int, yachts_each: int, cache_dir: str) -> str:
+    """Fixture world parquet, cached by size (generation is pure Python)."""
+    from web_scraper_spark.sources.fixtures import (
+        FixtureConfig,
+        PolitenessSpec,
+        build_world,
+    )
+    from web_scraper_spark.sources.pages_source import write_world_parquet
+
+    key = f"h{n_hosts}_y{yachts_each}"
+    out = os.path.join(cache_dir, key)
+    if os.path.exists(os.path.join(out, "pages.parquet")):
+        return out
+    cfg = FixtureConfig(
+        n_competitors=n_hosts,
+        yacht_counts=tuple([yachts_each] * n_hosts),
+        politeness=PolitenessSpec(
+            round_seconds=86400, global_batch_urls=7 * 28, global_pause_s=3600
+        ),
+    )
+    world = build_world(cfg)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_world_parquet(world, tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def run_crawl_round(spark, world_dir: str) -> dict:
+    from web_scraper_spark.plans.rounds import CrawlEngine
+    from web_scraper_spark.sources.catalog import ParquetSnapshotCatalog
+    from web_scraper_spark.sources.fixtures import PolitenessSpec
+    from web_scraper_spark.sources.pages_source import resolve_pages
+
+    spec = PolitenessSpec(
+        round_seconds=86400, global_batch_urls=200_000, global_pause_s=86400
+    )
+    state = tempfile.mkdtemp(prefix="wss_bench_state_")
+    try:
+        catalog = ParquetSnapshotCatalog(spark, state)
+        engine = CrawlEngine(spark, catalog, spec, n_buckets=32)
+        seeds = spark.read.parquet(f"{world_dir}/seeds.parquet")
+        robots = spark.read.parquet(f"{world_dir}/robots.parquet")
+        pages = resolve_pages(spark.read.parquet(f"{world_dir}/pages.parquet"))
+
+        t0 = time.monotonic()
+        engine.init_frontier(seeds, "2025-04-12", "2025-10-25")
+        init_s = time.monotonic() - t0
+
+        t1 = time.monotonic()
+        stats = engine.run_round(1, pages, robots, seeds)
+        round_s = time.monotonic() - t1
+        return {
+            "init_sec": round(init_s, 3),
+            "round_sec": round(round_s, 3),
+            "selected": stats["selected"],
+            "success": stats["success"],
+            "urls_per_sec": round(stats["selected"] / round_s, 1) if round_s else 0.0,
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "120"))
+    yachts = int(os.environ.get("BENCH_YACHTS", "8"))
+    cache = os.environ.get("BENCH_CACHE", "/tmp/wss_bench_cache")
+    os.makedirs(cache, exist_ok=True)
+
+    from web_scraper_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="wss-bench"
+    )
+
+    timings: dict[str, float] = {}
+    total0 = time.monotonic()
+
+    world_dir = build_bench_world(n_hosts, yachts, cache)
+    crawl = run_crawl_round(spark, world_dir)
+    timings["crawl_round"] = crawl["round_sec"]
+    timings["crawl_init_frontier"] = crawl["init_sec"]
+
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize fully
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(time.monotonic() - total0, 3)
+    out = {
+        "metric": "crawl_round_plus_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "urls_per_sec": crawl["urls_per_sec"],
+        "crawl_selected": crawl["selected"],
+        "crawl_success": crawl["success"],
+        "cpus": cpus,
+        "bench_world": f"{n_hosts} hosts x {yachts} yachts",
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,149 @@
+"""Dedup + similarity + textstats + multimodal operator semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from web_scraper_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from web_scraper_spark.operators.multimodal import binary_meta, decode_features
+from web_scraper_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "THE  quick   Brown fox jumps over the lazy dog "),  # exact dup after norm
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+    (4, "ve bir bu da de sistemi tamamen farkli bir metin"),  # turkish-ish
+    (5, "completely different content about spark engines and shuffles"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].canonical_doc_id == 1
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("A  b\tc",), ("a b c",)], "text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sig = minhash_signatures(shingles(docs), num_hashes=8)
+    assert sig.count() == 5  # all docs have >=3 tokens
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig, 8, 4).collect()}
+    assert (1, 2) in pairs  # identical after lowering share all bands
+    # doc 5 shares no shingles with 1 — must not pair
+    assert (1, 5) not in pairs and (2, 5) not in pairs
+
+
+def test_jaccard_exact_value(spark, docs):
+    cand = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+    out = jaccard_pairs(docs, cand, threshold=0.0).collect()
+    # tokens: 8 distinct each (the x2), intersection 7 (sleepy vs lazy), union 9
+    assert out[0].jaccard == round(7 / 9, 4)
+
+
+def test_simhash_identical_docs_equal(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+    assert sigs[1] != sigs[5]
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),  # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # anti-parallel
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [2, 3, 4]
+    assert out[0].cos_sim == pytest.approx(0.9939, abs=1e-4)
+    assert out[2].cos_sim == -1.0
+
+
+def test_lsh_bucket_groups_identical_vectors(spark):
+    vecs = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 1.0]) for i in range(12)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = lsh_bucket_topk(emb, q, dim=4, k=5, n_planes=3).collect()
+    # identical vectors (3,6,9) land in the query's bucket and rank first
+    got = [r.vec_id for r in sorted(out, key=lambda r: r.rank)[:3]]
+    assert set(got) == {3, 6, 9}
+
+
+def test_textstats_basics(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog, in a hat!",), ("ve bir bu da metin",), ("xyzzy 123",)],
+        "text string",
+    ).select(
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    rows = df.collect()
+    assert rows[0].n == 8 and rows[0].lang == "en"
+    assert rows[1].lang == "tr"
+    assert rows[2].lang == "und"
+    # "the cat and the dog, in a hat!" → 8 word-runs + ',' + '!' = 10
+    assert rows[0].bpe == 10
+    assert 0.0 <= rows[0].q <= 1.0
+
+
+def test_multimodal_meta_and_decode(spark):
+    rows = [
+        (1, b"\x89PNG\r\n" + b"\x00" * 100),
+        (2, b"\xff\xd8\xff\xe0" + b"\x10" * 50),
+        (3, b"plain text bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    meta = {r.doc_id: r for r in binary_meta(df, "data").collect()}
+    assert meta[1].format == "png" and meta[2].format == "jpeg"
+    assert meta[3].format == "unknown"
+    assert meta[1].n_bytes == 106
+
+    feats = {r.doc_id: r for r in decode_features(df, "data", "doc_id").collect()}
+    assert len(feats[1].feature) == 8
+    assert feats[2].n_frames == 1
+    # deterministic: same input → same feature
+    feats2 = {r.doc_id: r for r in decode_features(df, "data", "doc_id").collect()}
+    assert feats[1].feature == feats2[1].feature
+
+
+def test_multimodal_strict_stub_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, data binary")
+    with pytest.raises(Exception) as ei:
+        decode_features(df, "data", "doc_id", strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)

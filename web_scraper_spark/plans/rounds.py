@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import canonicalize_url, host_bucket, url_hash
-from ..operators.extract import ERROR_MARKER, extract_pages
+from ..operators.extract import extract_pages
 from ..operators.politeness import select_polite, split_robots
 from ..operators.priority import (
     DISCOVERED_PERIOD_IDX,
@@ -207,47 +207,71 @@ class CrawlEngine:
         allowed, blocked = split_robots(candidates, robots)
 
         # S6/J1 URL-seen dedup: bloom prefilter + exact anti-join.
+        # The seen-set size comes from the previous round's manifest
+        # (driver-side JSON) — no count job; bloom is skipped entirely
+        # while the seen set is empty (round 1).
         seen = self._seen(frontier)
+        seen_total_prev = 0
+        if round_id > 1 and self.catalog.round_committed(round_id - 1):
+            seen_total_prev = self.catalog.read_round_manifest(round_id - 1).get(
+                "seen_total", 0
+            )
         bloom = None
-        if self.use_bloom:
-            n_seen = seen.count()
+        if self.use_bloom and seen_total_prev > 0:
             bloom = build_seen_bloom(
                 seen,
                 n_buckets=self.n_buckets,
-                expected_items_per_bucket=max(1000, n_seen // self.n_buckets * 2),
+                expected_items_per_bucket=max(
+                    1000, seen_total_prev // self.n_buckets * 2
+                ),
                 fpp=self.bloom_fpp,
             )
         unseen = filter_unseen(allowed, seen, bloom, self.n_buckets)
 
         # R1-R5 politeness + R8 priority + global budget
-        selected = select_polite(unseen, robots, self.spec).cache()
+        selected = select_polite(unseen, robots, self.spec)
 
         # fetch = lookup join against the pages table on the 64-bit key,
-        # string-confirmed (hash-collision guard)
-        page_side = pages_resolved.select(
+        # string-confirmed (hash-collision guard). Two-phase for width:
+        # phase 1 joins a NARROW projection (url identity + page_status,
+        # no html) to classify outcomes; phase 2 re-joins html for the
+        # success rows only — the wide binary column is never read for
+        # timeouts/errors and never shuffles with the outcome split.
+        page_keys = pages_resolved.select(
             F.col("url_hash").alias("p_hash"),
             F.col("url_canon").alias("p_url"),
-            "html",
-            "warc_ts",
+            "page_status",
         )
-        fetched = selected.join(
-            page_side,
-            (selected.url_hash == page_side.p_hash) & (selected.url == page_side.p_url),
-            "left",
-        ).drop("p_hash", "p_url")
-
-        is_missing = F.col("html").isNull()
-        marker = F.lit(ERROR_MARKER.encode("utf-8"))
-        is_error_page = (~is_missing) & (
-            F.substring(F.col("html"), 1, len(ERROR_MARKER)) == marker
+        fetched = (
+            selected.join(
+                page_keys,
+                (selected.url_hash == page_keys.p_hash)
+                & (selected.url == page_keys.p_url),
+                "left",
+            )
+            .withColumn(
+                "outcome",
+                F.when(F.col("p_url").isNull(), "timeout")
+                .when(F.col("page_status") == "error", "empty")
+                .otherwise("success"),
+            )
+            .drop("p_hash", "p_url", "page_status")
+            .cache()
         )
+        timeouts = fetched.filter(F.col("outcome") == "timeout").drop("outcome")
+        empties = fetched.filter(F.col("outcome") == "empty").drop("outcome")
+        successes = fetched.filter(F.col("outcome") == "success").drop("outcome")
 
-        timeouts = fetched.filter(is_missing).drop("html", "warc_ts").cache()
-        empties = fetched.filter(is_error_page).drop("html", "warc_ts").cache()
-        successes = fetched.filter(~is_missing & ~is_error_page)
+        page_html = pages_resolved.select(
+            F.col("url_hash").alias("p2h"), F.col("url_canon").alias("p2u"), "html"
+        )
+        with_html = successes.join(
+            page_html,
+            (successes.url_hash == page_html.p2h) & (successes.url == page_html.p2u),
+        ).drop("p2h", "p2u")
 
         # P1 extraction — the only Python stage, Arrow-batched
-        extracted = extract_pages(successes.drop("warc_ts")).cache()
+        extracted = extract_pages(with_html).cache()
 
         extractions = extracted.select(
             F.lit(round_id).alias("round_id"),
@@ -311,12 +335,9 @@ class CrawlEngine:
             .join(frontier.select("url_hash"), "url_hash", "left_anti")
         )
 
-        # state transitions (R6 retry/backoff machine)
-        outcome = (
-            extracted.select("url_hash", F.lit("success").alias("outcome"))
-            .unionByName(empties.select("url_hash", F.lit("empty").alias("outcome")))
-            .unionByName(timeouts.select("url_hash", F.lit("timeout").alias("outcome")))
-        )
+        # state transitions (R6 retry/backoff machine) — outcome comes
+        # straight from the cached narrow fetch classification
+        outcome = fetched.select("url_hash", "outcome")
         new_frontier = (
             frontier.join(outcome, "url_hash", "left")
             .withColumn(
@@ -366,17 +387,10 @@ class CrawlEngine:
             version=round_id,
         )
 
-        # metrics rollup (A6): per-host counts + throughput
+        # metrics rollup (A6): per-host counts + throughput. All counts
+        # derive from the already-written round partitions (small parquet
+        # scans) — no recomputation of the crawl pipeline.
         wall_s = time.monotonic() - t0
-        frontier_now = self.catalog.read("frontier", version=round_id)
-        counts = {
-            "selected": selected.count(),
-            "success": extracted.count(),
-            "empty": empties.count(),
-            "error": timeouts.count(),
-            "robots": blocked.count(),
-            "discovered": discoveries.count(),
-        }
         per_host = (
             self.catalog.read_log("fetch_log")
             .filter(F.col("round_id") == round_id)
@@ -386,16 +400,39 @@ class CrawlEngine:
         )
         self.catalog.write_round_partition("metrics", per_host)
 
+        status_totals = {
+            r["status"]: r["n"]
+            for r in self.catalog.read_log("metrics")
+            .filter(F.col("round_id") == round_id)
+            .groupBy("status")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        n_discovered = (
+            self.catalog.read("frontier", version=round_id)
+            .filter(F.col("discovery_round") == round_id)
+            .count()
+        )
+        counts = {
+            "selected": sum(
+                v for k, v in status_totals.items() if k != "robots"
+            ),
+            "success": status_totals.get("success", 0),
+            "empty": status_totals.get("empty", 0),
+            "error": status_totals.get("error", 0),
+            "robots": status_totals.get("robots", 0),
+            "discovered": n_discovered,
+        }
+
         info = {
             **counts,
+            "seen_total": seen_total_prev + counts["success"] + counts["empty"],
             "wall_seconds": wall_s,
             "urls_per_sec": counts["selected"] / wall_s if wall_s > 0 else 0.0,
             "frontier_version": round_id,
         }
         self.catalog.commit_round(round_id, info)
-        selected.unpersist()
-        timeouts.unpersist()
-        empties.unpersist()
+        fetched.unpersist()
         extracted.unpersist()
         return {"round_id": round_id, "status": "committed", **info}
 

@@ -1,0 +1,600 @@
+"""The correctness battery behind ``__spark_entry__``.
+
+Every implemented operator from SURVEY.md §2 (and the training-data
+pipeline extensions) gets:
+- a Spark query over the driver's parquet tables (region nation customer
+  supplier part orders lineitem events documents embeddings), built on
+  the engine's own functions/operators, and
+- an equivalent ANSI-SQL string for DuckDB (the driver's oracle).
+
+Both sides alias every computed column identically; hashing that must
+agree across engines uses md5 hex strings; floats are rounded; sums are
+cast. ``REGISTRY`` maps name -> (callable, sql | None); sql=None marks
+genuinely non-SQL-expressible ops (driver falls back to rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.prices import durum_flag, format_date_for_api, parse_price
+from ..functions.textstats import (
+    EN_STOPWORDS,
+    TR_STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from ..functions.urls import canonicalize_url, url_hash
+from ..operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from ..operators.multimodal import binary_meta, decode_features
+from ..operators.politeness import split_robots
+from ..operators.seen import filter_unseen
+from ..operators.similarity import cosine_topk, lsh_bucket_topk
+
+Query = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[Query, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: Query):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# crawl-engine operators over the driver tables
+# (events doubles as a URL-bearing fact table: deterministic synthetic
+#  URLs derived from its columns, identically on both engines)
+# =========================================================================
+
+_DIRTY_URL_SQL = (
+    "'HTTPS://Host' || (user_id % 37) || '.Example.COM:443/e/' || event_id || '?b=2&a=1#frag'"
+)
+_CANON_URL_SQL = (
+    "'https://host' || (user_id % 37) || '.example.com/e/' || event_id || '?a=1&b=2'"
+)
+
+
+def _dirty_url() -> F.Column:
+    return F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("user_id") % 37).cast("string"),
+        F.lit(".Example.COM:443/e/"),
+        F.col("event_id").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+
+
+@q(
+    "url_canonicalize",
+    f"SELECT event_id, {_CANON_URL_SQL} AS url_canon FROM events",
+)
+def q_url_canonicalize(spark, sf_dir):
+    """S-new: canonicalization (lower host, strip :443/#frag, sort params)."""
+    return T(spark, sf_dir, "events").select(
+        "event_id", canonicalize_url(_dirty_url()).alias("url_canon")
+    )
+
+
+@q(
+    "url_dedup_variants",
+    """
+    SELECT user_id % 37 AS host_id,
+           COUNT(DISTINCT event_id) AS n_urls
+    FROM events GROUP BY 1
+    """,
+)
+def q_url_dedup_variants(spark, sf_dir):
+    """Dirty URL variants collapse to one identity per event (url_hash
+    dedup over canonical form)."""
+    ev = T(spark, sf_dir, "events")
+    v1 = ev.select((F.col("user_id") % 37).alias("host_id"), _dirty_url().alias("u"))
+    v2 = ev.select(
+        (F.col("user_id") % 37).alias("host_id"),
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 37).cast("string"),
+            F.lit(".example.com/e/"),
+            F.col("event_id").cast("string"),
+            F.lit("?a=1&b=2"),
+        ).alias("u"),
+    )
+    return (
+        v1.unionAll(v2)
+        .select("host_id", url_hash(canonicalize_url(F.col("u"))).alias("h"))
+        .groupBy("host_id")
+        .agg(F.countDistinct("h").alias("n_urls"))
+    )
+
+
+@q(
+    "seen_antijoin",
+    """
+    SELECT e.event_id FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events s WHERE s.event_type = 'click' AND s.event_id = e.event_id
+    )
+    """,
+)
+def q_seen_antijoin(spark, sf_dir):
+    """S6/J1 — URL-seen dedup as left-anti join (engine operator)."""
+    ev = T(spark, sf_dir, "events")
+    cand = ev.select("event_id", url_hash(canonicalize_url(_dirty_url())).alias("url_hash"))
+    seen = (
+        ev.filter(F.col("event_type") == "click")
+        .select(url_hash(canonicalize_url(_dirty_url())).alias("url_hash"))
+    )
+    return filter_unseen(cand, seen).select("event_id")
+
+
+@q(
+    "politeness_budget",
+    """
+    SELECT event_id FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id % 20 ORDER BY ts, event_id) <= 25
+    """,
+)
+def q_politeness_budget(spark, sf_dir):
+    """R1-R5 — per-host budget via priority-ordered row_number window."""
+    ev = T(spark, sf_dir, "events").withColumn("host", F.col("user_id") % 20)
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("event_id")
+    )
+
+
+@q(
+    "global_budget",
+    """
+    SELECT event_id FROM (
+      SELECT event_id, ts FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id % 20 ORDER BY ts, event_id) <= 25
+    ) ORDER BY ts, event_id LIMIT 300
+    """,
+)
+def q_global_budget(spark, sf_dir):
+    """R2 — global cap as distributed ordered-limit (TakeOrdered), after
+    the per-host budget."""
+    ev = T(spark, sf_dir, "events").withColumn("host", F.col("user_id") % 20)
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    per_host = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 25)
+    return per_host.orderBy("ts", "event_id").limit(300).select("event_id")
+
+
+@q(
+    "robots_filter",
+    """
+    SELECT user_id % 20 AS host_id,
+           SUM(CASE WHEN event_type IN ('click','purchase') THEN 0 ELSE 1 END)::BIGINT AS n_allowed,
+           SUM(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+    FROM events GROUP BY 1
+    """,
+)
+def q_robots_filter(spark, sf_dir):
+    """R9 — robots disallow-prefix gate (broadcast rules join + exists)."""
+    ev = T(spark, sf_dir, "events")
+    cand = ev.select(
+        (F.col("user_id") % 20).alias("host_id"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit("/"),
+            F.col("event_type"),
+            F.lit("/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}", ["/click", "/purchase"], 30) for i in range(20)],
+        "host string, disallow array<string>, crawl_delay_s int",
+    )
+    allowed, blocked = split_robots(cand, robots)
+    return (
+        allowed.groupBy("host_id")
+        .agg(F.count("*").alias("n_allowed"))
+        .join(
+            blocked.groupBy("host_id").agg(F.count("*").alias("n_blocked")),
+            "host_id",
+            "full_outer",
+        )
+        .select(
+            "host_id",
+            F.coalesce("n_allowed", F.lit(0)).alias("n_allowed"),
+            F.coalesce("n_blocked", F.lit(0)).alias("n_blocked"),
+        )
+    )
+
+
+@q(
+    "retry_backoff",
+    """
+    SELECT event_id,
+           CASE WHEN value < 1 THEN 'timeout' WHEN value < 3 THEN 'success' ELSE 'empty' END AS outcome,
+           CASE WHEN value >= 1 THEN 'fetched'
+                WHEN (event_id % 4) + 1 >= 3 THEN 'failed'
+                ELSE 'pending' END AS new_state,
+           CASE WHEN value < 1 THEN (event_id % 4) + 1 ELSE event_id % 4 END::BIGINT AS new_attempts,
+           CASE WHEN value < 1 AND (event_id % 4) + 1 < 3 THEN 8 ELSE 0 END AS new_not_before
+    FROM events
+    """,
+)
+def q_retry_backoff(spark, sf_dir):
+    """R6 — retry/backoff state machine (attempts/not_before/failed),
+    the nausys timeout semantics (nausys_tracker.py:216-321) as CASE."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 4).alias("attempts"),
+        F.when(F.col("value") < 1, "timeout")
+        .when(F.col("value") < 3, "success")
+        .otherwise("empty")
+        .alias("outcome"),
+    )
+    round_id, backoff, max_attempts = 7, 1, 3
+    return ev.select(
+        "event_id",
+        "outcome",
+        F.when(F.col("outcome") != "timeout", F.lit("fetched"))
+        .when(F.col("attempts") + 1 >= max_attempts, F.lit("failed"))
+        .otherwise(F.lit("pending"))
+        .alias("new_state"),
+        F.when(F.col("outcome") == "timeout", F.col("attempts") + 1)
+        .otherwise(F.col("attempts"))
+        .cast("long")
+        .alias("new_attempts"),
+        F.when(
+            (F.col("outcome") == "timeout") & (F.col("attempts") + 1 < max_attempts),
+            F.lit(round_id + backoff),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_not_before"),
+    )
+
+
+@q(
+    "weekly_periods",
+    """
+    SELECT (row_number() OVER (ORDER BY d)) - 1 AS period_idx,
+           strftime(d, '%Y-%m-%d') || ' 17:00:00' AS period_from,
+           strftime(d + INTERVAL 7 DAY, '%Y-%m-%d') || ' 08:00:00' AS period_to
+    FROM (SELECT unnest(generate_series(DATE '2025-04-12', DATE '2025-10-24', INTERVAL 7 DAY)) AS d)
+    """,
+)
+def q_weekly_periods(spark, sf_dir):
+    """T1 — generate_weekly_dates (nausys_tracker.py:323-338) via
+    sequence + explode."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.lit("2025-04-12")),
+                    F.to_date(F.lit("2025-10-25")),
+                    F.expr("interval 7 days"),
+                )
+            ).alias("d")
+        )
+        .filter(F.col("d") < F.to_date(F.lit("2025-10-25")))
+        .select(
+            (F.row_number().over(Window.orderBy("d")) - 1).alias("period_idx"),
+            F.concat(F.date_format("d", "yyyy-MM-dd"), F.lit(" 17:00:00")).alias(
+                "period_from"
+            ),
+            F.concat(
+                F.date_format(F.date_add("d", 7), "yyyy-MM-dd"), F.lit(" 08:00:00")
+            ).alias("period_to"),
+        )
+    )
+
+
+@q(
+    "task_expansion",
+    """
+    WITH periods AS (
+      SELECT (row_number() OVER (ORDER BY d)) - 1 AS period_idx, d
+      FROM (SELECT unnest(generate_series(DATE '2025-04-12', DATE '2025-10-24', INTERVAL 7 DAY)) AS d)
+    )
+    SELECT n.n_name, p.period_idx,
+           'https://' || lower(n.n_name) || '.example.com/p/' || strftime(p.d, '%Y-%m-%d') AS url
+    FROM nation n CROSS JOIN periods p
+    """,
+)
+def q_task_expansion(spark, sf_dir):
+    """T3 — frontier candidate expansion: seeds x periods cross join."""
+    periods = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.lit("2025-04-12")),
+                    F.to_date(F.lit("2025-10-25")),
+                    F.expr("interval 7 days"),
+                )
+            ).alias("d")
+        )
+        .filter(F.col("d") < F.to_date(F.lit("2025-10-25")))
+        .select((F.row_number().over(Window.orderBy("d")) - 1).alias("period_idx"), "d")
+    )
+    nation = T(spark, sf_dir, "nation")
+    return nation.crossJoin(F.broadcast(periods)).select(
+        "n_name",
+        "period_idx",
+        F.concat(
+            F.lit("https://"),
+            F.lower("n_name"),
+            F.lit(".example.com/p/"),
+            F.date_format("d", "yyyy-MM-dd"),
+        ).alias("url"),
+    )
+
+
+@q(
+    "latest_per_key",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def q_latest_per_key(spark, sf_dir):
+    """J5 — latest-doc lookup (booking_data_repository.py:66-82) as
+    window top-1 per key."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        )
+    )
+
+
+@q(
+    "price_compare",
+    """
+    WITH comp AS (
+      SELECT date_trunc('month', l_shipdate) AS m, round(avg(l_extendedprice), 2) AS rakip_fiyat
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), ours AS (
+      SELECT date_trunc('month', l_shipdate) AS m, round(avg(l_extendedprice), 2) AS bizim_fiyat
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    )
+    SELECT strftime(COALESCE(comp.m, ours.m), '%Y-%m') AS ay,
+           COALESCE(bizim_fiyat, 0.0) AS bizim_fiyat,
+           COALESCE(rakip_fiyat, 0.0) AS rakip_fiyat,
+           round(abs(COALESCE(bizim_fiyat,0.0) - COALESCE(rakip_fiyat,0.0)), 2) AS fark,
+           CASE WHEN COALESCE(bizim_fiyat,0.0) - COALESCE(rakip_fiyat,0.0) < 0 THEN 0
+                WHEN COALESCE(bizim_fiyat,0.0) - COALESCE(rakip_fiyat,0.0) > 0 THEN 1
+                ELSE 2 END AS durum
+    FROM comp FULL OUTER JOIN ours ON comp.m = ours.m
+    """,
+)
+def q_price_compare(spark, sf_dir):
+    """J3/J4 + P10/P11 — the §3.3 full-outer price comparison shape
+    (price.py:71-132) over driver data."""
+    li = T(spark, sf_dir, "lineitem")
+    comp = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("rakip_fiyat"))
+    )
+    ours = (
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("bizim_fiyat"))
+    )
+    j = comp.join(ours, "m", "full_outer")
+    bizim = F.coalesce("bizim_fiyat", F.lit(0.0))
+    rakip = F.coalesce("rakip_fiyat", F.lit(0.0))
+    diff = bizim - rakip
+    return j.select(
+        F.date_format("m", "yyyy-MM").alias("ay"),
+        bizim.alias("bizim_fiyat"),
+        rakip.alias("rakip_fiyat"),
+        F.round(F.abs(diff), 2).alias("fark"),
+        durum_flag(diff).alias("durum"),
+    )
+
+
+@q(
+    "parse_price",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             (floor(l_extendedprice * 100 + 0.5)::BIGINT // 100) || ',' ||
+             lpad((floor(l_extendedprice * 100 + 0.5)::BIGINT % 100)::VARCHAR, 2, '0') AS price_str
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(sum(replace(replace(price_str, '.', ''), ',', '.')::DOUBLE), 2) AS sum_parsed
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def q_parse_price(spark, sf_dir):
+    """P5 — European price-string parsing round-trip
+    (price.py:26-33 semantics) at aggregate scale."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    price_str = F.concat(
+        F.expr("div(cast(floor(l_extendedprice * 100 + 0.5) as bigint), 100)").cast(
+            "string"
+        ),
+        F.lit(","),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    return (
+        li.select("l_returnflag", price_str.alias("price_str"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum(parse_price(F.col("price_str"))), 2).alias("sum_parsed"))
+    )
+
+
+@q(
+    "format_currency",
+    # DuckDB regex is RE2 (no lookahead): group thousands by
+    # reverse → dot every 3 digits → reverse → trim leading dot
+    """
+    SELECT o_orderkey,
+           ltrim(reverse(regexp_replace(reverse((floor(o_totalprice * 100 + 0.5)::BIGINT // 100)::VARCHAR),
+                                        '(\\d{3})', '\\1.', 'g')), '.')
+           || ',' || lpad((floor(o_totalprice * 100 + 0.5)::BIGINT % 100)::VARCHAR, 2, '0') AS eur
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_format_currency(spark, sf_dir):
+    """P6 — European currency formatting (mmk_tracker.py:31-39):
+    thousands '.' grouping + ',' decimals, built portably from cents."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    int_part = F.expr("div(cast(floor(o_totalprice * 100 + 0.5) as bigint), 100)").cast(
+        "string"
+    )
+    grouped = F.regexp_replace(int_part, r"(\d)(?=(\d{3})+$)", r"$1.")
+    return o.select(
+        "o_orderkey",
+        F.concat(grouped, F.lit(","), F.lpad((cents % 100).cast("string"), 2, "0")).alias(
+            "eur"
+        ),
+    )
+
+
+@q(
+    "collect_periods",
+    # order by the formatted string itself so tie-breaking matches
+    # Spark's sort_array (lexicographic) exactly
+    """
+    SELECT o_custkey,
+           string_agg(strftime(o_orderdate, '%Y-%m-%d') || '#' || o_orderkey, '|'
+                      ORDER BY strftime(o_orderdate, '%Y-%m-%d') || '#' || o_orderkey) AS periods
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_collect_periods(spark, sf_dir):
+    """A1 — per-key collect_list of period structs, deterministically
+    sorted (nausys_tracker.py:404-409's booking_periods accumulation)."""
+    o = T(spark, sf_dir, "orders")
+    item = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("#"),
+        F.col("o_orderkey").cast("string"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_list(item)), "|").alias("periods")
+    )
+
+
+@q(
+    "fetch_metrics",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_fetch_metrics(spark, sf_dir):
+    """A6 — metrics rollup (count / countDistinct / sum per key)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "date_format_api",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%d.%m.%Y %H:%M') AS api_date
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_date_format_api(spark, sf_dir):
+    """P7 — format_date_for_api (nausys_tracker.py:443-450)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            format_date_for_api(
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            ).alias("api_date"),
+        )
+    )
+
+
+@q(
+    "epoch_millis",
+    "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_id <= 3000",
+)
+def q_epoch_millis(spark, sf_dir):
+    """P8 — epoch-millis conversion (mmk_tracker.py:171-172)."""
+    return (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 3000)
+        # parquet naive timestamps load as TIMESTAMP_NTZ; session tz is
+        # UTC so the cast is the identity instant (matches DuckDB)
+        .select("event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    )
+
+
+@q(
+    "frontier_merge",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k, 'fetched' AS state FROM orders WHERE o_orderkey % 2 = 0
+    ), updates AS (
+      SELECT o_orderkey AS k, 'pending' AS state FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(u.state, o.state) AS state, count(*)::BIGINT AS n
+    FROM old o FULL OUTER JOIN updates u ON o.k = u.k
+    GROUP BY 1
+    """,
+)
+def q_frontier_merge(spark, sf_dir):
+    """W2/W4 — MERGE upsert semantics as full-outer + coalesce."""
+    o = T(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"), F.lit("fetched").alias("state_old")
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"), F.lit("pending").alias("state_new")
+    )
+    return (
+        old.join(upd, "k", "full_outer")
+        .select(F.coalesce("state_new", "state_old").alias("state"))
+        .groupBy("state")
+        .agg(F.count("*").alias("n"))
+    )

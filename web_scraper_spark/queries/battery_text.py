@@ -1,0 +1,493 @@
+"""Battery part 2: training-data pipeline operators (dedup, similarity,
+text analysis, multimodal, streaming-equivalent, TPC-H-class joins).
+
+Registered into the same ``REGISTRY`` as battery.py. Portability rules
+as there: md5-based hashing, rounded doubles, cast aggregates,
+identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import (
+    EN_STOPWORDS,
+    TR_STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from ..operators.multimodal import binary_meta, decode_features
+from ..operators.similarity import cosine_topk, lsh_bucket_topk
+from .battery import T, q
+
+# -------------------------------------------------------------------------
+# deduplication over `documents`
+# -------------------------------------------------------------------------
+
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+@q(
+    "dedup_exact",
+    # corpus with injected duplicates (every 7th doc re-inserted under a
+    # new id, with whitespace/case noise the normalizer must erase)
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, upper(text) || '  ' FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT {_FP_SQL} AS fp, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_doc_id
+    FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: normalized-md5 fingerprint hash-aggregate (one
+    shuffle); duplicates injected with case/whitespace noise to prove
+    the normalization."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    return exact_duplicates(docs.unionByName(noisy))
+
+
+@q(
+    "fingerprint_docs",
+    f"""
+    SELECT doc_id, {_FP_SQL} AS fp FROM documents WHERE doc_id < 200
+    """,
+)
+def q_fingerprint_docs(spark, sf_dir):
+    """Document fingerprinting (normalized md5) — portable identity."""
+    return (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)]
+         )) AS shingle
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+
+@q(
+    "dedup_minhash",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+           min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
+           min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
+           min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
+           min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures (8 hashes over 3-gram shingles), md5-portable;
+    the per-doc min is a map-side-combinable aggregate."""
+    return minhash_signatures(shingles(T(spark, sf_dir, "documents")), num_hashes=8)
+
+
+_MINHASH_CTE = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
+             min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
+             min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
+             min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS band_hash FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS band_hash FROM sig
+    )
+"""
+
+
+@q(
+    "dedup_lsh_pairs",
+    _MINHASH_CTE
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_lsh_pairs(spark, sf_dir):
+    """LSH banding join: near-dup candidate pairs (equi-join on band
+    hash — never an all-pairs cross join)."""
+    sig = minhash_signatures(shingles(T(spark, sf_dir, "documents")), num_hashes=8)
+    return lsh_candidate_pairs(sig, num_hashes=8, band_size=4)
+
+
+@q(
+    "dedup_jaccard",
+    _MINHASH_CTE
+    + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    toksets AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(ta.toks, tb.toks)) /
+                 greatest(len(list_distinct(ta.toks || tb.toks)), 1)::DOUBLE, 4) AS jaccard
+    FROM cand c
+    JOIN toksets ta ON ta.doc_id = c.doc_a
+    JOIN toksets tb ON tb.doc_id = c.doc_b
+    WHERE round(len(list_intersect(ta.toks, tb.toks)) /
+                greatest(len(list_distinct(ta.toks || tb.toks)), 1)::DOUBLE, 4) >= 0.3
+    """,
+)
+def q_dedup_jaccard(spark, sf_dir):
+    """n-gram/token Jaccard verification of LSH candidates."""
+    docs = T(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(docs), num_hashes=8)
+    cand = lsh_candidate_pairs(sig, num_hashes=8, band_size=4)
+    return jaccard_pairs(docs, cand, threshold=0.3)
+
+
+_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+_SIMHASH_BITS_SQL = " || ".join(
+    f"(CASE WHEN sum(CASE WHEN substr(h, {j + 1}, 1) IN {_HEX_HIGH} THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END)"
+    for j in range(16)
+)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest({_TOKS_SQL})) AS h FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (md5-parity bit votes)."""
+    return simhash(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+
+# -------------------------------------------------------------------------
+# text analysis over `documents`
+# -------------------------------------------------------------------------
+
+_EN_LIST = "(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+_TR_LIST = "(" + ",".join(f"'{w}'" for w in TR_STOPWORDS) + ")"
+
+
+@q(
+    "lang_id",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(list_filter({_TOKS_SQL}, t -> t IN {_EN_LIST})) AS en,
+             len(list_filter({_TOKS_SQL}, t -> t IN {_TR_LIST})) AS tr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en = 0 AND tr = 0 THEN 'und'
+                WHEN en >= tr THEN 'en' ELSE 'tr' END AS lang_pred
+    FROM c
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword vote)."""
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@q(
+    "quality_score",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_TOKS_SQL}) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter({_TOKS_SQL}, t -> t IN {_EN_LIST})) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens::BIGINT AS n_tokens,
+           round(n_chars / greatest(n_tokens, 1)::DOUBLE, 4) AS mean_token_len,
+           round(n_alpha / greatest(n_chars, 1)::DOUBLE, 4) AS alpha_ratio,
+           round(n_punct / greatest(n_chars, 1)::DOUBLE, 4) AS punct_ratio,
+           round(n_stop / greatest(n_tokens, 1)::DOUBLE, 4) AS stopword_ratio
+    FROM f
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Quality-scoring feature set (length/punct/stopword/alpha ratios)."""
+    docs = T(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        f["mean_token_len"].alias("mean_token_len"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@q(
+    "token_count",
+    f"""
+    SELECT lang,
+           sum(len({_TOKS_SQL}))::BIGINT AS ws_tokens,
+           sum(length(regexp_replace(regexp_replace(text, '[A-Za-z]+|[0-9]+', 'x', 'g'), '\\s+', '', 'g')))::BIGINT AS bpe_ish_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex segmentation."""
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+            F.sum(bpe_ish_token_count(F.col("text"))).cast("long").alias("bpe_ish_tokens"),
+        )
+    )
+
+
+# -------------------------------------------------------------------------
+# similarity search over `embeddings`
+# -------------------------------------------------------------------------
+
+
+@q(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+                   greatest(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-12), 4) AS cos_sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (JVM-side zip_with/aggregate dot
+    products, broadcast query set) — the ANN correctness baseline."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+@q("ann_lsh_topk", None)  # non-SQL-expressible compactly: rows-only check
+def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (the scale path; recall<1 vs
+    cosine_topk by design)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return lsh_bucket_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
+# -------------------------------------------------------------------------
+# multimodal binary plumbing
+# -------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata (length/md5) over utf-8 payload bytes."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return binary_meta(docs, "data").select("doc_id", "n_bytes", "content_md5")
+
+
+@q("multimodal_decode", None)  # stubbed decoder: rows-only check
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched decode/feature stage over binary payloads
+    (deterministic stub features; real decoder drops into the same
+    mapInPandas contract)."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return decode_features(docs, "data", "doc_id", feature_dim=8)
+
+
+# -------------------------------------------------------------------------
+# streaming-equivalent windowed aggregation + TPC-H-class joins
+# -------------------------------------------------------------------------
+
+
+@q(
+    "events_hour_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hour_window(spark, sf_dir):
+    """Tumbling event-time window aggregation (the batch-equivalent of
+    the streaming hostrate plan in streaming/ingest.py)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    ).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-class pricing summary (partial-agg friendly)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "top_revenue_orders",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-class: selective dim filter → join → agg → top-k
+    (broadcast the filtered customer side)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "nation_volume",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q5-class 6-table join (broadcast dims, co-located facts)."""
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf_dir, "nation")
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

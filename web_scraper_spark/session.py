@@ -41,6 +41,8 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # deterministic time semantics (matches DuckDB's naive-UTC reads)
+        .config("spark.sql.session.timeZone", "UTC")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # 128 MiB input splits: good default for parquet scans at scale.

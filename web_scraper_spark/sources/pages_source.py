@@ -93,6 +93,7 @@ def resolve_pages(pages: DataFrame) -> DataFrame:
     w = Window.partitionBy("url_canon").orderBy(
         F.col("warc_ts").desc(), F.col("url").desc()
     )
+    marker = b"<!--STATUS:500-->"
     return (
         pages.withColumn("url_canon", canonicalize_url(F.col("url")))
         .filter(F.col("url_canon").isNotNull())
@@ -100,4 +101,13 @@ def resolve_pages(pages: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .withColumn("url_hash", url_hash(F.col("url_canon")))
+        # page_status computed here so the round's outcome split can
+        # join a NARROW projection (no html) — the wide binary column
+        # is only read for rows that reach extraction
+        .withColumn(
+            "page_status",
+            F.when(
+                F.substring(F.col("html"), 1, len(marker)) == F.lit(marker), "error"
+            ).otherwise("ok"),
+        )
     )

@@ -22,10 +22,14 @@ __all__ = ["stream_pages", "hostrate_stream", "run_available_now"]
 
 
 def stream_pages(spark: SparkSession, pages_dir: str, schema) -> DataFrame:
+    """File-stream over page-dump batches dropped as subdirectories of
+    ``pages_dir``. The file source does not recurse, so glob one level
+    (``dir/*``) unless the caller already passed a glob."""
+    path = pages_dir if any(c in pages_dir for c in "*?[") else pages_dir + "/*"
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 16)
-        .parquet(pages_dir)
+        .parquet(path)
     )
 
 
@@ -37,6 +41,8 @@ def hostrate_stream(pages: DataFrame) -> DataFrame:
         pages.withColumn("url_canon", canonicalize_url(F.col("url")))
         .filter(F.col("url_canon").isNotNull())
         .withColumn("host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))))
+        # watermarks need TIMESTAMP (NTZ unsupported); session tz is UTC
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
         .withWatermark("warc_ts", "2 hours")
         .dropDuplicates(["url_canon"])
     )
