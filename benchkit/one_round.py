@@ -1,10 +1,10 @@
 """Run ONE crawl round at a given parallelism; print one JSON line.
 
-Child process for bench/scaling.py (each parallelism level needs its own
+Child process for benchkit/scaling.py (each parallelism level needs its own
 JVM). The fixture world is cached, so successive invocations measure the
 same input.
 
-    python bench/one_round.py --cpus 8 --hosts 400 --yachts 10
+    python benchkit/one_round.py --cpus 8 --hosts 400 --yachts 10
 """
 
 from __future__ import annotations
@@ -23,19 +23,26 @@ def main() -> int:
     ap.add_argument("--hosts", type=int, default=400)
     ap.add_argument("--yachts", type=int, default=10)
     ap.add_argument("--cache", default="/tmp/wss_bench_cache")
+    # warm-up world (JIT/worker-spawn/page-fault warm-up) is small so
+    # low-parallelism levels don't spend minutes warming up
+    ap.add_argument("--warmup-hosts", type=int, default=120)
+    ap.add_argument("--warmup-yachts", type=int, default=8)
     args = ap.parse_args()
 
     from bench import build_bench_world, run_crawl_round
     from web_scraper_spark.session import get_spark
 
     os.makedirs(args.cache, exist_ok=True)
-    world_dir = build_bench_world(args.hosts, args.yachts, args.cache)
-
     spark = get_spark(
         master=f"local[{args.cpus}]",
         shuffle_partitions=args.cpus,
         app_name=f"wss-scale-{args.cpus}",
     )
+    world_dir = build_bench_world(spark, args.hosts, args.yachts, args.cache)
+    # warm-up round on a small world (throwaway state): JIT, python-worker
+    # spawn, heap growth — so the measured round is steady-state
+    warm_dir = build_bench_world(spark, args.warmup_hosts, args.warmup_yachts, args.cache)
+    run_crawl_round(spark, warm_dir)
     result = run_crawl_round(spark, world_dir)
     result.update(cpus=args.cpus, hosts=args.hosts, yachts=args.yachts)
     print(json.dumps(result))

@@ -50,16 +50,25 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows: word n-gram shingles over normalized
-    tokens, distinct per doc."""
-    toks = tokens(F.lower(F.col(text_col)))
+    tokens, distinct per doc.
+
+    The token array is materialized as a column BEFORE the shingle
+    lambda: Catalyst does no common-subexpression elimination across
+    lambda boundaries, so referencing the tokenizer expression inside
+    ``transform`` re-runs the regex split per shingle (measured 30x
+    slower). With a column reference the split runs once per row."""
+    with_toks = docs.select(
+        "doc_id", tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    toks = F.col("toks")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 0),
+        # sequence(0, size-n) inclusive → size-n+1 shingles
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    # sequence(0, size-n) inclusive → size-n+1 shingles; guard short docs
     grams = F.when(F.size(toks) >= n, grams).otherwise(F.array())
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return with_toks.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 

@@ -31,12 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.fixtures import (
-    FIELDS,
-    extract_fields_py,
-    extract_outlinks_py,
-    extract_text_py,
-)
+from ..sources.fixtures import FIELDS
 
 try:  # pragma: no cover - not present in this sandbox
     import lxml.html as _lxml_html
@@ -83,6 +78,12 @@ def extract_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
         if f.name != html_col and f.name not in _OUTPUT_COLS
     ]
 
+    # bind the module-level regexes once per worker; fields, full-page
+    # text and outlinks each get one compiled-regex pass
+    from ..sources.fixtures import _HREF_RE, _SPAN_RE, _TAG_RE, _WS_RE
+
+    field_order = FIELDS
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             htmls = pdf[html_col]
@@ -95,19 +96,20 @@ def extract_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
                     texts.append(None)
                     outlinks.append(None)
                     continue
-                html = bytes(raw).decode("utf-8", errors="replace")
+                html = raw.decode("utf-8", errors="replace")
                 if html.startswith(ERROR_MARKER):
                     details.append(None)
                     texts.append(None)
                     outlinks.append([])
                     continue
-                details.append(extract_fields_py(html))
-                texts.append(extract_text_py(html))
-                outlinks.append(extract_outlinks_py(html))
-            out = pdf[keep_cols].copy()
-            out["details"] = details
-            out["text"] = texts
-            out["outlinks"] = outlinks
+                found = {k: v.strip() for k, v in _SPAN_RE.findall(html)}
+                fields = {k: found.get(k) for k in field_order}
+                details.append(fields)
+                # full-page visible text (Common-Crawl `text` semantics)
+                texts.append(_WS_RE.sub(" ", _TAG_RE.sub(" ", html)).strip())
+                outlinks.append(_HREF_RE.findall(html))
+            out = pdf[keep_cols]
+            out = out.assign(details=details, text=texts, outlinks=outlinks)
             yield out
 
     return pages.mapInPandas(run, schema=out_schema)

@@ -28,9 +28,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import PolitenessSpec
+from .limits import global_priority_limit
 from .priority import PRIORITY_COLS
 
 __all__ = ["split_robots", "select_polite"]
+
+# above this budget, TakeOrdered's driver merge (K partitions x G rows)
+# stops being cheap — switch to the distributed range-partitioned limit
+DISTRIBUTED_LIMIT_THRESHOLD = 100_000
 
 
 def split_robots(
@@ -57,6 +62,7 @@ def select_polite(
     candidates: DataFrame,
     robots: DataFrame,
     spec: PolitenessSpec,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Politeness-budgeted, priority-ordered selection for one round.
 
@@ -84,7 +90,12 @@ def select_polite(
         .drop("__rn_host", "__host_budget", "crawl_delay_s")
     )
 
-    # ordered-limit == TakeOrdered: distributed top-G, no 1-partition window
+    # global budget: TakeOrdered for modest G (distributed top-G, driver
+    # merge); range-partitioned exact limit for frontier-scale G
+    if spec.global_budget > DISTRIBUTED_LIMIT_THRESHOLD:
+        return global_priority_limit(
+            per_host, PRIORITY_COLS, spec.global_budget, cache_handles=cache_handles
+        )
     return per_host.orderBy(*[F.col(c).asc() for c in PRIORITY_COLS]).limit(
         spec.global_budget
     )

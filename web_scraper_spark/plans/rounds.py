@@ -27,6 +27,7 @@ Scale notes (10^10 frontier):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -78,6 +79,12 @@ class CrawlEngine:
     n_buckets: int = 16
     use_bloom: bool = True
     bloom_fpp: float = 0.01
+    # html-fetch join strategy: "broadcast" ships the politeness-bounded
+    # selection to the pages scan (html never shuffles; driver builds the
+    # hash table — right when the budget is small); "shuffle" hash-joins
+    # both sides with a salted repartition (right when the selection is
+    # large relative to driver memory). Env override for benches.
+    fetch_join: str = os.environ.get("WSS_FETCH_JOIN", "broadcast")
 
     # ------------------------------------------------------------------
     # frontier bootstrap: T1 (weekly periods) + T3 (seeds x periods)
@@ -229,7 +236,8 @@ class CrawlEngine:
         unseen = filter_unseen(allowed, seen, bloom, self.n_buckets)
 
         # R1-R5 politeness + R8 priority + global budget
-        selected = select_polite(unseen, robots, self.spec)
+        round_caches: list = []
+        selected = select_polite(unseen, robots, self.spec, cache_handles=round_caches)
 
         # fetch = lookup join against the pages table on the 64-bit key,
         # string-confirmed (hash-collision guard). Two-phase for width:
@@ -262,15 +270,35 @@ class CrawlEngine:
         empties = fetched.filter(F.col("outcome") == "empty").drop("outcome")
         successes = fetched.filter(F.col("outcome") == "success").drop("outcome")
 
+        # Pull html ONLY for success rows. (On a live crawl this stage is
+        # an Arrow-batched HTTP fetch, no join at all.)
         page_html = pages_resolved.select(
             F.col("url_hash").alias("p2h"), F.col("url_canon").alias("p2u"), "html"
         )
-        with_html = successes.join(
-            page_html,
-            (successes.url_hash == page_html.p2h) & (successes.url == page_html.p2u),
-        ).drop("p2h", "p2u")
+        join_cond = (successes.url_hash == page_html.p2h) & (
+            successes.url == page_html.p2u
+        )
+        if self.fetch_join == "broadcast":
+            # html never shuffles: the selection ships to the pages scan
+            with_html = page_html.join(F.broadcast(successes), join_cond).drop(
+                "p2h", "p2u"
+            )
+        else:
+            # shuffle hash join + salted repartition: html shuffles once,
+            # but no driver-side hash-table build; extraction runs on the
+            # salted layout (hot hosts spread over all workers)
+            par = self.spark.sparkContext.defaultParallelism
+            with_html = (
+                successes.join(page_html, join_cond)
+                .drop("p2h", "p2u")
+                .repartition(
+                    par, F.col("host_bucket"), F.pmod(F.col("url_hash"), F.lit(par))
+                )
+            )
 
-        # P1 extraction — the only Python stage, Arrow-batched
+        # P1 extraction — the only Python stage, Arrow-batched. Per-host
+        # volume is already bounded upstream by the politeness budget,
+        # which is what kills hot-host skew before this stage.
         extracted = extract_pages(with_html).cache()
 
         extractions = extracted.select(
@@ -434,6 +462,8 @@ class CrawlEngine:
         self.catalog.commit_round(round_id, info)
         fetched.unpersist()
         extracted.unpersist()
+        for h in round_caches:
+            h.unpersist()
         return {"round_id": round_id, "status": "committed", **info}
 
     # ------------------------------------------------------------------

@@ -45,18 +45,37 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # 128 MiB input splits: good default for parquet scans at scale.
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Input splits size the task count of map stages that follow a
+        # scan (the Arrow extraction stage inherits them — with wide
+        # compressed html, 128 MiB splits starve a 32-core box). 32 MiB
+        # keeps splits ≳ 2x cores at local volumes; on a 1000-executor
+        # cluster the standard 128 MiB is restored via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
+        # zstd: ~3x smaller text/html columns than snappy — trades
+        # single-box disk bandwidth (does not scale with cores) for
+        # compression CPU (does)
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Wide binary rows (html ~20 KB) need small columnar batches:
+        # 32 tasks x 4096-row reader batches x 20 KB = OOM on a 12g heap.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         # --- Arrow for the pandas-UDF stages (extraction); batched, not per-row ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2048 rows x ~20 KB html ≈ 40 MB per batch — bounded worker memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # --- idempotent round commits: overwrite only the partitions present ---
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # --- broadcast small dims (robots, seeds, politeness params) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # quieter local runs
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM for driver+executors. 12g measured fastest
+        # on this VM: a 48g heap made 32-core runs 10-20x slower (kernel
+        # page-fault storms during young-gen growth — sys-time bound,
+        # user CPU idle). Enough for ~1 GiB wide-column shuffles.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -219,6 +219,8 @@ _SPAN_RE = _re.compile(
     r'<span id="yachtReservationDialogForm:tabView:([a-z_]+)">(.*?)</span>', _re.S
 )
 _HREF_RE = _re.compile(r'<a href="([^"]+)"')
+_TAG_RE = _re.compile(r"<[^>]*>")
+_WS_RE = _re.compile(r"\s+")
 
 
 def extract_fields_py(html: str) -> dict[str, str | None]:
@@ -229,10 +231,12 @@ def extract_fields_py(html: str) -> dict[str, str | None]:
 
 
 def extract_text_py(html: str) -> str:
-    """Golden text: '<field>: <value>' lines in FIELDS order, missing
-    fields omitted — the byte-identical parity target."""
-    fields = extract_fields_py(html)
-    return "\n".join(f"{k}: {fields[k]}" for k in FIELDS if fields[k] is not None)
+    """Golden text: full-page visible text — every tag stripped,
+    whitespace collapsed to single spaces, trimmed. This is the
+    Common-Crawl-style `pages.text` semantics (the whole document's
+    text content, reference `text_content()` applied page-wide) and
+    the byte-identical parity target."""
+    return _WS_RE.sub(" ", _TAG_RE.sub(" ", html)).strip()
 
 
 def extract_outlinks_py(html: str) -> list[str]:

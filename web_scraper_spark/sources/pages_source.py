@@ -81,26 +81,38 @@ def load_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def resolve_pages(pages: DataFrame) -> DataFrame:
-    """Canonical-url-keyed page lookup table.
+def resolve_pages(pages: DataFrame, assume_unique: bool = False) -> DataFrame:
+    """Canonical-url-keyed page lookup table (ingest-time op — run once
+    when a page snapshot lands, never per round).
 
     Adds ``url_canon``/``url_hash`` and keeps the LATEST ``warc_ts`` row
     per canonical URL (J5 latest-row semantics,
     booking_data_repository.py:66-82's ``sort last_update_date desc,
     take 1``) — Common Crawl re-crawls the same URL across snapshots.
-    ``max_by`` would also work; row_number keeps the full row cheaply.
+
+    ``assume_unique=True`` skips the dedup window entirely (a pure
+    projection, html never shuffles) — for inputs already unique per
+    canonical URL, e.g. an earlier resolve output or a generator that
+    emits each URL once. The dedup window shuffles the wide ``html``
+    column; at scale prefer resolving each incoming snapshot delta and
+    merging winners by key, not re-windowing the full corpus.
     """
-    w = Window.partitionBy("url_canon").orderBy(
-        F.col("warc_ts").desc(), F.col("url").desc()
-    )
     marker = b"<!--STATUS:500-->"
-    return (
+    canon = (
         pages.withColumn("url_canon", canonicalize_url(F.col("url")))
         .filter(F.col("url_canon").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumn("url_hash", url_hash(F.col("url_canon")))
+    )
+    if not assume_unique:
+        w = Window.partitionBy("url_canon").orderBy(
+            F.col("warc_ts").desc(), F.col("url").desc()
+        )
+        canon = (
+            canon.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return (
+        canon.withColumn("url_hash", url_hash(F.col("url_canon")))
         # page_status computed here so the round's outcome split can
         # join a NARROW projection (no html) — the wide binary column
         # is only read for rows that reach extraction
