@@ -458,6 +458,41 @@ def q_parse_price(spark, sf_dir):
 
 
 @q(
+    "price_regex_parse",
+    """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber,
+             ((floor(l_extendedprice * 100 + 0.5)::BIGINT // 100)::VARCHAR || ' € (' ||
+              (floor(l_extendedprice * 110 + 0.5)::BIGINT // 100)::VARCHAR || ' € - ' ||
+              (l_linenumber % 30)::VARCHAR || '%)') AS price_text
+      FROM lineitem WHERE l_orderkey <= 4000
+    )
+    SELECT l_orderkey, l_linenumber,
+           regexp_extract(price_text, '([0-9,\\.]+)\\s*€\\s*\\(\\s*([0-9,\\.]+)\\s*€\\s*-\\s*([0-9,\\.]+)%\\)', 1) AS total_str,
+           regexp_extract(price_text, '([0-9,\\.]+)\\s*€\\s*\\(\\s*([0-9,\\.]+)\\s*€\\s*-\\s*([0-9,\\.]+)%\\)', 2) AS list_str,
+           regexp_extract(price_text, '([0-9,\\.]+)\\s*€\\s*\\(\\s*([0-9,\\.]+)\\s*€\\s*-\\s*([0-9,\\.]+)%\\)', 3) AS pct_str
+    FROM s
+    """,
+)
+def q_price_regex_parse(spark, sf_dir):
+    """P2 — the MMK discounted-price regex (mmk_tracker.py:211-217:
+    ``([\\d,\\.]+)\\s*€\\s*\\(...``) via native regexp_extract groups."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 4000)
+    total = F.expr("div(cast(floor(l_extendedprice * 100 + 0.5) as bigint), 100)").cast("string")
+    lst = F.expr("div(cast(floor(l_extendedprice * 110 + 0.5) as bigint), 100)").cast("string")
+    pct = (F.col("l_linenumber") % 30).cast("string")
+    price_text = F.concat(total, F.lit(" € ("), lst, F.lit(" € - "), pct, F.lit("%)"))
+    pat = r"([0-9,\.]+)\s*€\s*\(\s*([0-9,\.]+)\s*€\s*-\s*([0-9,\.]+)%\)"
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_extract(price_text, pat, 1).alias("total_str"),
+        F.regexp_extract(price_text, pat, 2).alias("list_str"),
+        F.regexp_extract(price_text, pat, 3).alias("pct_str"),
+    )
+
+
+@q(
     "format_currency",
     # DuckDB regex is RE2 (no lookahead): group thousands by
     # reverse → dot every 3 digits → reverse → trim leading dot
