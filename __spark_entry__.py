@@ -75,7 +75,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    def with_utc(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # time-typed results (epoch millis, hour windows, strftime)
+            # are defined against UTC — the DuckDB oracle reads naive
+            # parquet timestamps as UTC, so the Spark session must too
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    return {name: with_utc(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
