@@ -313,6 +313,41 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+@q(
+    "dedup_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12), 4) >= 0.35
+    """,
+)
+def q_dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= threshold). Exact within
+    a bounded id range here; the scale path gates the pair join with the
+    hyperplane-LSH bucket (same pattern as lsh_bucket_topk)."""
+    from ..operators.similarity import cosine
+
+    e = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
 @q("ann_lsh_topk", None)  # non-SQL-expressible compactly: rows-only check
 def q_ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (the scale path; recall<1 vs
