@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from web_scraper_spark.queries import battery, battery_text  # noqa: E402,F401  (populates REGISTRY)
+from web_scraper_spark.queries import battery, battery_mmk, battery_text  # noqa: E402,F401  (populates REGISTRY)
 from web_scraper_spark.queries.battery import REGISTRY  # noqa: E402
 
 

@@ -75,7 +75,9 @@ def generate_bench_world(
         spark.range(yachts_per_host).select(F.col("id").cast("int").alias("yacht_rank"))
     ).select(
         "*",
-        F.format_string("yacht_%s_%d", F.col("competitor_name"), F.col("yacht_rank")).alias(
+        # zero-padded so lexicographic name order == numeric rank order
+        # (engine ranks yachts by name; matches fixtures.py padding)
+        F.format_string("yacht_%s_%03d", F.col("competitor_name"), F.col("yacht_rank")).alias(
             "yacht_name"
         ),
         (

@@ -58,13 +58,24 @@ def oracle(world):
     return o
 
 
-@pytest.fixture(scope="session")
-def engine_run(spark, world):
-    """(engine, catalog, stats, tables dict) after N_ROUNDS rounds."""
+@pytest.fixture(scope="session", params=["broadcast", "shuffle"])
+def engine_run(request, spark, world):
+    """(engine, catalog, stats, tables dict) after N_ROUNDS rounds.
+
+    Parametrized over both html-fetch join strategies — parity must hold
+    on the broadcast path (small budgets) and the salted-shuffle path
+    (frontier-scale budgets) alike.
+    """
     tmp = tempfile.mkdtemp(prefix="wss_test_")
     paths = write_world_parquet(world, tmp + "/world")
     catalog = ParquetSnapshotCatalog(spark, tmp + "/state")
-    engine = CrawlEngine(spark, catalog, world.config.politeness, n_buckets=8)
+    engine = CrawlEngine(
+        spark,
+        catalog,
+        world.config.politeness,
+        n_buckets=8,
+        fetch_join=request.param,
+    )
     seeds = spark.read.parquet(paths["seeds"])
     robots = spark.read.parquet(paths["robots"])
     pages = resolve_pages(spark.read.parquet(paths["pages"]))

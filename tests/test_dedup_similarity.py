@@ -21,7 +21,12 @@ from web_scraper_spark.operators.dedup import (
     simhash,
 )
 from web_scraper_spark.operators.multimodal import binary_meta, decode_features
-from web_scraper_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from web_scraper_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_neardup,
+    lsh_bucket_topk,
+)
 
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog"),
@@ -101,6 +106,42 @@ def test_lsh_bucket_groups_identical_vectors(spark):
     # identical vectors (3,6,9) land in the query's bucket and rank first
     got = [r.vec_id for r in sorted(out, key=lambda r: r.rank)[:3]]
     assert set(got) == {3, 6, 9}
+
+
+def test_embedding_neardup_gated_no_cartesian(spark):
+    """The near-dup operator must never plan an all-pairs join, must
+    return only true pairs (precision 1.0 — cosine is exact on every
+    candidate), and must recover most of the exact pairs (recall bound
+    for the 4-band OR construction on real embedding data)."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    got = embedding_neardup(emb, dim=64, threshold=0.35).collect()
+
+    # plan shape: bucket equi-join only — no cartesian / nested-loop
+    plan = embedding_neardup(emb, dim=64, threshold=0.35)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # exact reference pairs via the brute-force join (fine at 500 rows)
+    e = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("c"))
+        .filter(F.col("c") >= 0.35)
+        .collect()
+    }
+    got_pairs = {(r.vec_a, r.vec_b) for r in got}
+    assert got_pairs <= exact  # precision 1.0
+    assert len(exact) > 0
+    recall = len(got_pairs) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.2f} ({len(got_pairs)}/{len(exact)})"
 
 
 def test_textstats_basics(spark):

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_price",
+    "is_valid_price_text",
     "format_currency_col",
     "format_date_for_api",
     "epoch_millis",
@@ -27,6 +28,16 @@ def parse_price(c: Column) -> Column:
     # try_cast: ANSI-mode-safe (invalid → NULL → 0.0, like the reference's
     # except ValueError branch)
     return F.coalesce(normalized.try_cast("double"), F.lit(0.0))
+
+
+def is_valid_price_text(c: Column) -> Column:
+    """F4 — price-text sanity predicate (mmk_tracker.py:196-203):
+    accept a candidate price string only if it starts with a digit and
+    does not contain 'NaN' (``re.search(r'^\\d', text) and 'NaN' not in
+    text``). NULL-safe: a NULL text is invalid."""
+    return F.coalesce(
+        c.rlike(r"^[0-9]") & ~c.contains("NaN"), F.lit(False)
+    )
 
 
 def format_currency_col(c: Column) -> Column:
@@ -45,8 +56,13 @@ def format_date_for_api(c: Column) -> Column:
 
 
 def epoch_millis(c: Column) -> Column:
-    """P8 — datetime → epoch millis (mmk_tracker.py:171-172)."""
-    return (F.unix_timestamp(c) * 1000).cast("long")
+    """P8 — datetime → epoch millis (mmk_tracker.py:171-172).
+
+    ``unix_millis`` keeps sub-second precision (``unix_timestamp`` would
+    truncate to seconds); the cast also lifts TIMESTAMP_NTZ parquet reads
+    into the session (UTC) timeline first.
+    """
+    return F.unix_millis(c.cast("timestamp"))
 
 
 def strip_company_suffix(c: Column) -> Column:

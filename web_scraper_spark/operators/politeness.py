@@ -78,7 +78,15 @@ def select_polite(
             F.lit(1),
             (
                 F.lit(spec.round_seconds)
-                / F.coalesce(F.col("crawl_delay_s"), F.lit(spec.default_crawl_delay_s))
+                # zero-guard mirrors PolitenessSpec.host_budget's
+                # max(1, delay): a 'Crawl-delay: 0' robots line must not
+                # divide by zero (ANSI abort) / grant an infinite budget
+                / F.greatest(
+                    F.lit(1),
+                    F.coalesce(
+                        F.col("crawl_delay_s"), F.lit(spec.default_crawl_delay_s)
+                    ),
+                )
             ).cast("long"),
         ),
     )

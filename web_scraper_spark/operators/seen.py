@@ -43,13 +43,24 @@ def filter_unseen(
     seen: DataFrame,
     bloom_table: DataFrame | None = None,
     n_buckets: int = 64,
+    confirm_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Rows of ``candidates`` whose ``url_hash`` is not in ``seen``."""
+    """Rows of ``candidates`` not present in ``seen``.
+
+    ``confirm_cols`` are the exact anti-join keys (default
+    ``["url_hash"]``). At 10^10-URL scale a few 64-bit collisions are
+    expected, so the crawl plan passes ``["url_hash", "url"]`` — the
+    string confirm costs nothing extra (same shuffle, hash key first)
+    and guarantees a colliding new URL is not silently dropped. The
+    Bloom prefilter stays hash-only: a hash collision there is just one
+    more false positive, resolved by the exact join.
+    """
+    keys = confirm_cols or ["url_hash"]
     if bloom_table is None:
-        return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return candidates.join(seen.select(*keys), keys, "left_anti")
 
     flagged = bloom_might_contain(candidates, bloom_table, n_buckets)
     definitely_new = flagged.filter(~F.col("might_be_seen")).drop("might_be_seen")
     maybe_seen = flagged.filter(F.col("might_be_seen")).drop("might_be_seen")
-    confirmed_new = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
+    confirmed_new = maybe_seen.join(seen.select(*keys), keys, "left_anti")
     return definitely_new.unionByName(confirmed_new)

@@ -17,10 +17,21 @@ oracle-comparable despite float summation order.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplane_bucket", "lsh_bucket_topk"]
+__all__ = [
+    "dot",
+    "norm",
+    "cosine",
+    "cosine_topk",
+    "plane_sign",
+    "hyperplane_bucket",
+    "lsh_bucket_topk",
+    "embedding_neardup",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -77,25 +88,113 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def plane_sign(p: int, d: int) -> int:
+    """±1 weight of hyperplane ``p`` for dimension ``d``: parity of the
+    first hex digit of md5('p|d'). Deterministic everywhere — the DuckDB
+    oracle emits the same constants as a literal weight table, so the
+    bucket assignment is engine-portable with no stored plane matrix."""
+    return 1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 else -1
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
     """LSH bucket id: sign bits against n pseudo-random hyperplanes.
 
-    Plane p's weight for dimension d is ±1, chosen by the parity of the
-    first hex digit of md5('p|d') — deterministic everywhere, no plane
-    matrix to store or broadcast. Bucket = sum of 2^p over positive
-    projections.
+    Bucket = sum of 2^p over positive projections. Each projection is a
+    single ``aggregate(zip_with(vec, <literal ±1 array>))`` — the
+    expression tree stays linear in ``dim`` (codegen-friendly at large
+    ``n_planes``), and the left-fold sums elements in index order, the
+    same order the SQL twin's ``v[1]*s1 + v[2]*s2 + …`` uses, so the
+    float result is bit-identical across engines.
+
+    ``plane_offset`` shifts the plane-index namespace so multi-band
+    callers (``embedding_neardup``) draw independent planes per band.
     """
     bucket = F.lit(0)
     for p in range(n_planes):
-        proj = F.lit(0.0)
-        for d in range(dim):
-            # deterministic ±1 weight (computed at plan build; constant-folded)
-            import hashlib
-
-            sign = 1 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2 else -1
-            proj = proj + F.element_at(vec, d + 1).cast("double") * F.lit(float(sign))
+        weights = F.array(
+            *[F.lit(float(plane_sign(plane_offset + p, d))) for d in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_bands: int = 12,
+    planes_per_band: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold), LSH-bucket-gated.
+
+    The scale path for embedding dedup: never an all-pairs join.
+    Multi-band OR construction for recall — a pair is a candidate if it
+    shares a bucket in ANY band (band b draws planes
+    ``b*planes_per_band … +planes_per_band-1`` from the shared md5-parity
+    namespace). Plan shape:
+
+    1. explode each vector to ``n_bands`` (band, bucket) rows,
+    2. self-equi-join on (band, bucket) with ``vec_a < vec_b``,
+       ``distinct`` to dedup pairs found by several bands — ids only,
+       vectors do not ride through the band join,
+    3. re-join both sides' vectors by id (co-partitioned equi-joins),
+       cosine filter at ``threshold``.
+
+    Output: (vec_a, vec_b, cos_sim rounded to 4). Recall < 1 vs the
+    exact all-pairs join by construction; the bound is pinned by a
+    recall test against the exact pairs in tests/test_dedup_similarity
+    (defaults measure 0.98 on the fixture embeddings at τ=0.35).
+    Tuning: more planes/band → smaller buckets (less candidate volume,
+    what you raise at corpus scale); more bands → higher recall.
+    """
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_bucket(
+                            F.col("v"),
+                            dim,
+                            planes_per_band,
+                            plane_offset=b * planes_per_band,
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
 
 
 def lsh_bucket_topk(

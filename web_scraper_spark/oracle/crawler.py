@@ -94,9 +94,12 @@ class OracleCrawler:
         self.pages_by_canon: dict[str, dict] = {}
         for p in self.world.pages:
             canon = canonicalize_url_py(p["url"])
-            # latest warc_ts wins (J5 latest-row semantics)
+            # latest warc_ts wins (J5 latest-row semantics); ties broken
+            # by raw url desc — the same total order resolve_pages uses,
+            # so engine and oracle pick the same page even when two raw
+            # URLs share a canonical form and a timestamp
             prev = self.pages_by_canon.get(canon)
-            if prev is None or p["warc_ts"] >= prev["warc_ts"]:
+            if prev is None or (p["warc_ts"], p["url"]) >= (prev["warc_ts"], prev["url"]):
                 self.pages_by_canon[canon] = p
         self.robots_by_host = {r["host"]: r for r in self.world.robots}
         self.seed_rank_by_host = {s["host"]: s["seed_rank"] for s in self.world.seeds}

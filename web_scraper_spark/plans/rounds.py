@@ -83,8 +83,25 @@ class CrawlEngine:
     # selection to the pages scan (html never shuffles; driver builds the
     # hash table — right when the budget is small); "shuffle" hash-joins
     # both sides with a salted repartition (right when the selection is
-    # large relative to driver memory). Env override for benches.
-    fetch_join: str = os.environ.get("WSS_FETCH_JOIN", "broadcast")
+    # large relative to driver memory). "auto" (default) picks by the
+    # round's global budget — the politeness stage caps the selection at
+    # exactly spec.global_budget rows, so the budget is a sound size
+    # estimate known at plan time. Env override for benches.
+    fetch_join: str = os.environ.get("WSS_FETCH_JOIN", "auto")
+
+    # above this many selected URLs, broadcasting the selection means a
+    # multi-hundred-MB driver hash table (measured: 600k rows needed a
+    # 20 GiB heap) — switch to the salted shuffle join
+    BROADCAST_FETCH_THRESHOLD: int = 100_000
+
+    def _resolve_fetch_join(self) -> str:
+        if self.fetch_join != "auto":
+            return self.fetch_join
+        return (
+            "broadcast"
+            if self.spec.global_budget <= self.BROADCAST_FETCH_THRESHOLD
+            else "shuffle"
+        )
 
     # ------------------------------------------------------------------
     # frontier bootstrap: T1 (weekly periods) + T3 (seeds x periods)
@@ -177,7 +194,9 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _seen(self, frontier: DataFrame) -> DataFrame:
-        return frontier.filter(F.col("state") == "fetched").select("url_hash")
+        # url rides along as the collision confirm key for the exact
+        # anti-join (the bloom build only reads url_hash)
+        return frontier.filter(F.col("state") == "fetched").select("url_hash", "url")
 
     def _log_rows(self, df: DataFrame, round_id: int, status, error) -> DataFrame:
         status_col = status if not isinstance(status, str) else F.lit(status)
@@ -233,7 +252,11 @@ class CrawlEngine:
                 ),
                 fpp=self.bloom_fpp,
             )
-        unseen = filter_unseen(allowed, seen, bloom, self.n_buckets)
+        # string-confirmed anti-join: at 10^10 URLs xxhash64 collisions
+        # exist, and a collision here would silently skip a real URL
+        unseen = filter_unseen(
+            allowed, seen, bloom, self.n_buckets, confirm_cols=["url_hash", "url"]
+        )
 
         # R1-R5 politeness + R8 priority + global budget
         round_caches: list = []
@@ -278,7 +301,7 @@ class CrawlEngine:
         join_cond = (successes.url_hash == page_html.p2h) & (
             successes.url == page_html.p2u
         )
-        if self.fetch_join == "broadcast":
+        if self._resolve_fetch_join() == "broadcast":
             # html never shuffles: the selection ships to the pages scan
             with_html = page_html.join(F.broadcast(successes), join_cond).drop(
                 "p2h", "p2u"
@@ -360,14 +383,18 @@ class CrawlEngine:
                 F.lit(0).alias("attempts"),
                 F.lit(0).alias("not_before"),
             )
-            .join(frontier.select("url_hash"), "url_hash", "left_anti")
+            # (url_hash, url) anti-join: hash alone would drop a new URL
+            # that collides with an existing frontier entry
+            .join(frontier.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
         )
 
         # state transitions (R6 retry/backoff machine) — outcome comes
-        # straight from the cached narrow fetch classification
-        outcome = fetched.select("url_hash", "outcome")
+        # straight from the cached narrow fetch classification; the
+        # merge key is string-confirmed like the fetch join, so a hash
+        # collision cannot mark the wrong pending row fetched
+        outcome = fetched.select("url_hash", "url", "outcome")
         new_frontier = (
-            frontier.join(outcome, "url_hash", "left")
+            frontier.join(outcome, ["url_hash", "url"], "left")
             .withColumn(
                 "state",
                 F.when(F.col("outcome").isin("success", "empty"), F.lit("fetched"))
@@ -396,7 +423,9 @@ class CrawlEngine:
         # robots-blocked rows become permanent
         new_frontier = (
             new_frontier.join(
-                blocked.select("url_hash", F.lit(True).alias("__rb")), "url_hash", "left"
+                blocked.select("url_hash", "url", F.lit(True).alias("__rb")),
+                ["url_hash", "url"],
+                "left",
             )
             .withColumn(
                 "state",

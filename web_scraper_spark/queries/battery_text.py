@@ -29,8 +29,30 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.multimodal import binary_meta, decode_features
-from ..operators.similarity import cosine_topk, lsh_bucket_topk
+from ..operators.similarity import (
+    cosine_topk,
+    embedding_neardup,
+    lsh_bucket_topk,
+    plane_sign,
+)
 from .battery import T, q
+
+
+def _proj_sql(vcol: str, dim: int, plane: int) -> str:
+    """The hyperplane-p projection as explicit left-assoc SQL — the same
+    ±1 md5-parity weights and the same summation order as the engine's
+    ``hyperplane_bucket`` fold, so the double result is bit-identical."""
+    return " + ".join(
+        f"{vcol}[{d + 1}]*({float(plane_sign(plane, d))})" for d in range(dim)
+    )
+
+
+def _bucket_sql(vcol: str, dim: int, n_planes: int, plane_offset: int = 0) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_proj_sql(vcol, dim, plane_offset + p)}) > 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
 
 # -------------------------------------------------------------------------
 # deduplication over `documents`
@@ -313,45 +335,70 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+_NEARDUP_BANDS_SQL = "\n      UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, ({_bucket_sql('v', 64, 3, plane_offset=b * 3)}) AS bucket FROM e"
+    for b in range(12)
+)
+
+
 @q(
     "dedup_embedding_neardup",
-    """
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                 greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12), 4) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-12), 4) >= 0.35
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bands AS (
+      {_NEARDUP_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             round(list_dot_product(ea.v, eb.v) /
+                   greatest(sqrt(list_dot_product(ea.v, ea.v)) *
+                            sqrt(list_dot_product(eb.v, eb.v)), 1e-12), 4) AS cos_sim
+      FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
     """,
 )
 def q_dedup_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos >= threshold). Exact within
-    a bounded id range here; the scale path gates the pair join with the
-    hyperplane-LSH bucket (same pattern as lsh_bucket_topk)."""
-    from ..operators.similarity import cosine
+    """Embedding-cosine near-duplicate pairs (cos >= threshold) through
+    the LSH-bucket-gated operator — equi-join on (band, bucket), multi-
+    band OR for recall, never an all-pairs cross join. The oracle emits
+    the identical md5-parity plane weights as SQL literals, so engine
+    and oracle agree on every candidate pair; recall vs the exact
+    all-pairs join is bounded separately in tests/test_dedup_similarity.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, dim=64, threshold=0.35, n_bands=12, planes_per_band=3)
 
-    e = (
-        T(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 300)
-        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+
+@q(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({_bucket_sql('v', 64, 6)}) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_dot_product(q.qv, b.v) /
+                   greatest(sqrt(list_dot_product(q.qv, q.qv)) *
+                            sqrt(list_dot_product(b.v, b.v)), 1e-12), 4) AS cos_sim
+      FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id <> q.query_id
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.35)
-    )
-
-
-@q("ann_lsh_topk", None)  # non-SQL-expressible compactly: rows-only check
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def q_ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (the scale path; recall<1 vs
-    cosine_topk by design)."""
+    cosine_topk by design). The md5-parity plane signs are deterministic
+    constants, so the oracle reproduces the exact bucket assignment with
+    a literal ±1 weight table."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
@@ -385,11 +432,22 @@ def q_multimodal_meta(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched decode/feature stage over binary payloads
     (deterministic stub features; real decoder drops into the same
-    mapInPandas contract)."""
+    mapInPandas contract). The feature vector is projected to a scalar
+    CSV string so every output column is hashable/sortable by the
+    harness (raw ``array<double>`` crashes pandas canonicalization)."""
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("data")
     )
-    return decode_features(docs, "data", "doc_id", feature_dim=8)
+    feats = decode_features(docs, "data", "doc_id", feature_dim=8)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "format",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 6))
+        ).alias("feature_csv"),
+        "n_frames",
+    )
 
 
 # -------------------------------------------------------------------------

@@ -273,8 +273,11 @@ def build_world(config: FixtureConfig | None = None) -> World:
         comp = f"comp{rank:02d}"
         host = f"charter{rank:02d}.example.com"
         n_yachts = cfg.yacht_counts[rank % len(cfg.yacht_counts)]
+        # zero-padded index: lexicographic name order == insertion order
+        # even for >=10 yachts per host (the engine ranks yachts by name,
+        # the oracle by dict insertion order — they must agree)
         yacht_ids = {
-            f"yacht_{comp}_{j}": str(10_000_000 + rng.randrange(80_000_000))
+            f"yacht_{comp}_{j:03d}": str(10_000_000 + rng.randrange(80_000_000))
             for j in range(n_yachts)
         }
         seeds.append(
