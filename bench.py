@@ -35,6 +35,10 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_lsh_pairs",
     "cosine_topk",
+    "dedup_embedding_neardup",
+    "ann_lsh_topk",
+    "listing_enrich",
+    "weekly_periods_mmk",
     "quality_score",
     "token_count",
     "pricing_summary",

@@ -53,3 +53,38 @@ def test_empty_bucket_means_unseen(spark):
     out = bloom_might_contain(cand, bloom, N_BUCKETS)
     assert out.filter(F.col("might_be_seen")).count() == 0
     assert out.count() == 100
+
+
+def test_merge_bloom_tables_preserves_membership(spark):
+    """OR-merge of same-geometry filters: every item inserted into
+    EITHER side is a member of the merged filter (zero false negatives
+    across incremental rounds), and the FPR stays bounded."""
+    from web_scraper_spark.operators.bloom import bloom_params as _params
+    from web_scraper_spark.operators.bloom import merge_bloom_tables
+
+    geom = _params(4_000, 0.01)
+    old = spark.range(0, 10_000).select(F.xxhash64("id").alias("url_hash"))
+    new = spark.range(10_000, 14_000).select(F.xxhash64("id").alias("url_hash"))
+    b_old = build_bloom_table(old, N_BUCKETS, 1, params=geom)
+    b_new = build_bloom_table(new, N_BUCKETS, 1, params=geom)
+    merged = merge_bloom_tables(b_old, b_new).cache()
+
+    both = old.unionByName(new)
+    flagged = bloom_might_contain(both, merged, N_BUCKETS)
+    assert flagged.filter(~F.col("might_be_seen")).count() == 0
+
+    # n_items sums across the merge
+    totals = merged.agg(F.sum("n_items").alias("n")).collect()[0].n
+    assert totals == 14_000
+
+    # non-members: FPR bounded (loose 5x of the 1% target)
+    probe = spark.range(1_000_000, 1_020_000).select(
+        F.xxhash64("id").alias("url_hash")
+    )
+    fp = (
+        bloom_might_contain(probe, merged, N_BUCKETS)
+        .filter(F.col("might_be_seen"))
+        .count()
+    )
+    merged.unpersist()
+    assert fp / 20_000 < 0.05

@@ -44,7 +44,9 @@ from pyspark.sql.types import (
 
 __all__ = [
     "bloom_params",
+    "bloom_capacity",
     "build_bloom_table",
+    "merge_bloom_tables",
     "bloom_might_contain",
     "BLOOM_SCHEMA",
 ]
@@ -67,6 +69,13 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     m = (m + 63) // 64 * 64  # whole uint64 words
     k = max(1, int(round(m / n * math.log(2))))
     return m, min(k, 16)
+
+
+def bloom_capacity(m_bits: int, fpp: float = 0.01) -> int:
+    """Items an ``m_bits`` filter holds at the target FPP — the inverse
+    of ``bloom_params``. Incremental maintenance checks the persisted
+    filter's remaining headroom against this before reusing it."""
+    return max(1, int(m_bits * (math.log(2) ** 2) / math.log(1.0 / fpp)))
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -109,14 +118,18 @@ def build_bloom_table(
     expected_items_per_bucket: int,
     fpp: float = 0.01,
     hash_col: str = "url_hash",
+    params: tuple[int, int] | None = None,
 ) -> DataFrame:
     """One Bloom filter row per bucket over ``seen[hash_col]``.
 
     Distributed build: shuffle by bucket (the seen table is already
     bucket-partitioned in the catalog, so this co-partitions), each task
     materializes only its bucket's bitset.
+
+    ``params`` pins (m_bits, k) explicitly — a delta filter that will be
+    OR-merged into an existing table MUST share its exact geometry.
     """
-    m_bits, k = bloom_params(expected_items_per_bucket, fpp)
+    m_bits, k = params if params else bloom_params(expected_items_per_bucket, fpp)
 
     def make_filter(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -137,6 +150,40 @@ def build_bloom_table(
         "bucket_id", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
     )
     return bucketed.groupBy("bucket_id").applyInPandas(make_filter, BLOOM_SCHEMA)
+
+
+def merge_bloom_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR union of two bloom tables with identical geometry.
+
+    The incremental-maintenance primitive: ``seen_bloom(v) =
+    merge(seen_bloom(v-1), bloom(new urls of round v))``. OR-merging
+    same-(m, k) filters is exact — membership of every item inserted
+    into either side is preserved (zero false negatives), so a crawl
+    never rescans the full seen set to refresh the filter; the caller
+    verifies geometry (and remaining capacity) BEFORE merging and falls
+    back to a full rebuild otherwise. Shuffles only n_buckets bitset
+    rows, co-partitioned on bucket_id.
+    """
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m_bits = int(pdf["m_bits"].iloc[0])
+        k = int(pdf["k_hashes"].iloc[0])
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        for raw in pdf["bits"]:
+            bits |= np.frombuffer(raw, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "m_bits": [m_bits],
+                "k_hashes": [k],
+                "n_items": [int(pdf["n_items"].sum())],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return (
+        a.unionByName(b).groupBy("bucket_id").applyInPandas(merge, BLOOM_SCHEMA)
+    )
 
 
 def bloom_might_contain(

@@ -32,9 +32,11 @@ def build_seen_bloom(
     n_buckets: int = 64,
     expected_items_per_bucket: int = 100_000,
     fpp: float = 0.01,
+    params: tuple[int, int] | None = None,
 ) -> DataFrame:
     return build_bloom_table(
-        seen.select("url_hash"), n_buckets, expected_items_per_bucket, fpp
+        seen.select("url_hash"), n_buckets, expected_items_per_bucket, fpp,
+        params=params,
     )
 
 

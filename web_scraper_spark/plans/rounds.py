@@ -94,14 +94,18 @@ class CrawlEngine:
     # 20 GiB heap) — switch to the salted shuffle join
     BROADCAST_FETCH_THRESHOLD: int = 100_000
 
-    def _resolve_fetch_join(self) -> str:
+    def _resolve_fetch_join(self, frontier: DataFrame) -> str:
+        """Pick the html-fetch join strategy from a sound plan-time
+        bound on the selection size: the politeness stage emits at most
+        ``min(global_budget, frontier rows)`` rows. The frontier count
+        is a footer-only parquet scan (count(*) prunes every column),
+        so the estimate costs no data I/O."""
         if self.fetch_join != "auto":
             return self.fetch_join
-        return (
-            "broadcast"
-            if self.spec.global_budget <= self.BROADCAST_FETCH_THRESHOLD
-            else "shuffle"
-        )
+        est = self.spec.global_budget
+        if est > self.BROADCAST_FETCH_THRESHOLD:
+            est = min(est, frontier.count())
+        return "broadcast" if est <= self.BROADCAST_FETCH_THRESHOLD else "shuffle"
 
     # ------------------------------------------------------------------
     # frontier bootstrap: T1 (weekly periods) + T3 (seeds x periods)
@@ -192,6 +196,81 @@ class CrawlEngine:
         )
         return self.catalog.read("frontier")
 
+    # how much larger than the current seen set a (re)built filter is
+    # sized — the headroom later rounds grow into before the next rebuild
+    BLOOM_HEADROOM: int = 4
+
+    def _bloom_geometry(self, seen_total: int) -> tuple[int, int]:
+        from ..operators.bloom import bloom_params
+
+        expected = max(1000, seen_total // self.n_buckets * self.BLOOM_HEADROOM)
+        return bloom_params(expected, self.bloom_fpp)
+
+    def _probe_bloom(
+        self, seen: DataFrame, seen_total_prev: int, round_id: int
+    ) -> tuple[DataFrame, tuple[int, int]]:
+        """(bloom table, (m_bits, k)) for this round's prefilter.
+
+        Reuses the persisted ``seen_bloom`` snapshot when it is exactly
+        one round old and still has capacity at the target FPP;
+        otherwise rebuilds from the seen set, sized with
+        ``BLOOM_HEADROOM`` so subsequent rounds go back to incremental
+        merges (scalable-bloom amortization: rebuilds are O(log growth)
+        over the crawl's life, not per-round).
+        """
+        from ..operators.bloom import bloom_capacity
+
+        if self.catalog.current_version("seen_bloom") == round_id - 1:
+            tbl = self.catalog.read("seen_bloom", version=round_id - 1)
+            row = tbl.select("m_bits", "k_hashes").first()
+            per_bucket = max(1, seen_total_prev // self.n_buckets)
+            if row is not None and bloom_capacity(
+                int(row.m_bits), self.bloom_fpp
+            ) >= per_bucket:
+                return tbl, (int(row.m_bits), int(row.k_hashes))
+        geom = self._bloom_geometry(seen_total_prev)
+        tbl = build_seen_bloom(
+            seen, n_buckets=self.n_buckets, fpp=self.bloom_fpp,
+            expected_items_per_bucket=1, params=geom,
+        )
+        return tbl, geom
+
+    def _write_bloom_snapshot(
+        self,
+        fetched: DataFrame,
+        seen: DataFrame,
+        bloom: DataFrame | None,
+        bloom_geom: tuple[int, int] | None,
+        seen_total_prev: int,
+        round_id: int,
+    ) -> None:
+        """Maintain the persisted seen-filter: OR-merge this round's
+        newly-seen hashes into the probe filter, or bootstrap a full
+        filter when none existed (round 1 / geometry reset)."""
+        from ..operators.bloom import merge_bloom_tables
+
+        new_seen = fetched.filter(
+            F.col("outcome").isin("success", "empty")
+        ).select("url_hash")
+        if bloom is not None and bloom_geom is not None:
+            delta = build_seen_bloom(
+                new_seen, n_buckets=self.n_buckets, fpp=self.bloom_fpp,
+                expected_items_per_bucket=1, params=bloom_geom,
+            )
+            merged = merge_bloom_tables(bloom, delta)
+        else:
+            # bootstrap: seen set is (pre-round seen ∪ this round's new);
+            # size by the budget bound — no count job needed
+            geom = self._bloom_geometry(
+                seen_total_prev + self.spec.global_budget
+            )
+            merged = build_seen_bloom(
+                seen.select("url_hash").unionByName(new_seen),
+                n_buckets=self.n_buckets, fpp=self.bloom_fpp,
+                expected_items_per_bucket=1, params=geom,
+            )
+        self.catalog.write_snapshot("seen_bloom", merged, version=round_id)
+
     # ------------------------------------------------------------------
     def _seen(self, frontier: DataFrame) -> DataFrame:
         # url rides along as the collision confirm key for the exact
@@ -235,7 +314,11 @@ class CrawlEngine:
         # S6/J1 URL-seen dedup: bloom prefilter + exact anti-join.
         # The seen-set size comes from the previous round's manifest
         # (driver-side JSON) — no count job; bloom is skipped entirely
-        # while the seen set is empty (round 1).
+        # while the seen set is empty (round 1). The filter itself is
+        # PERSISTED per round and maintained incrementally (bitwise-OR
+        # of this round's delta) — at a 10^10 seen set a per-round full
+        # rebuild would rescan every seen hash, while the merge touches
+        # only n_buckets bitset rows + the budget-bounded delta.
         seen = self._seen(frontier)
         seen_total_prev = 0
         if round_id > 1 and self.catalog.round_committed(round_id - 1):
@@ -243,15 +326,9 @@ class CrawlEngine:
                 "seen_total", 0
             )
         bloom = None
+        bloom_geom = None
         if self.use_bloom and seen_total_prev > 0:
-            bloom = build_seen_bloom(
-                seen,
-                n_buckets=self.n_buckets,
-                expected_items_per_bucket=max(
-                    1000, seen_total_prev // self.n_buckets * 2
-                ),
-                fpp=self.bloom_fpp,
-            )
+            bloom, bloom_geom = self._probe_bloom(seen, seen_total_prev, round_id)
         # string-confirmed anti-join: at 10^10 URLs xxhash64 collisions
         # exist, and a collision here would silently skip a real URL
         unseen = filter_unseen(
@@ -301,7 +378,7 @@ class CrawlEngine:
         join_cond = (successes.url_hash == page_html.p2h) & (
             successes.url == page_html.p2u
         )
-        if self._resolve_fetch_join() == "broadcast":
+        if self._resolve_fetch_join(frontier) == "broadcast":
             # html never shuffles: the selection ships to the pages scan
             with_html = page_html.join(F.broadcast(successes), join_cond).drop(
                 "p2h", "p2u"
@@ -443,6 +520,12 @@ class CrawlEngine:
             new_frontier.repartition(self.n_buckets, "host_bucket"),
             version=round_id,
         )
+
+        # persist the incremental URL-seen filter for the next round
+        if self.use_bloom:
+            self._write_bloom_snapshot(
+                fetched, seen, bloom, bloom_geom, seen_total_prev, round_id
+            )
 
         # metrics rollup (A6): per-host counts + throughput. All counts
         # derive from the already-written round partitions (small parquet

@@ -243,6 +243,103 @@ def q_price_sanity(spark, sf_dir):
 
 
 # -------------------------------------------------------------------------
+# P3 — labeled-sibling DOM extraction (the MMK 'Price:' label walk)
+# -------------------------------------------------------------------------
+
+
+@q(
+    "price_sibling_extract",
+    """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber,
+             '<div class="row"><div class="lbl">Price:</div> <div class="val">' ||
+             CASE WHEN l_linenumber % 5 = 0 THEN 'NaN €'
+                  ELSE ((floor(l_extendedprice * 100 + 0.5)::BIGINT // 100)::VARCHAR || ' €')
+             END || '</div></div><div class="lbl">Other:</div><div>x</div>' AS html
+      FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    x AS (
+      SELECT l_orderkey, l_linenumber,
+             trim(regexp_extract(html, 'Price:</div>\\s*<div[^>]*>([^<]*)</div>', 1)) AS price_text
+      FROM s
+    )
+    SELECT l_orderkey, l_linenumber, price_text,
+           (regexp_matches(price_text, '^[0-9]') AND NOT contains(price_text, 'NaN')) AS valid
+    FROM x
+    """,
+)
+def q_price_sibling_extract(spark, sf_dir):
+    """P3 — the MMK sibling-DOM walk (mmk_tracker.py:196-203: find the
+    'Price:' label div, take the next sibling div's text, then the F4
+    sanity gate) as one native ``regexp_extract`` over the serialized
+    DOM — no tree walk, no Python. A 'NaN €' sibling (every 5th row)
+    must extract but fail the sanity gate, mirroring the reference's
+    skip branch."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    euros = F.expr(
+        "div(cast(floor(l_extendedprice * 100 + 0.5) as bigint), 100)"
+    ).cast("string")
+    html = F.concat(
+        F.lit('<div class="row"><div class="lbl">Price:</div> <div class="val">'),
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit("NaN €")).otherwise(
+            F.concat(euros, F.lit(" €"))
+        ),
+        F.lit('</div></div><div class="lbl">Other:</div><div>x</div>'),
+    )
+    price_text = F.trim(
+        F.regexp_extract(html, r"Price:</div>\s*<div[^>]*>([^<]*)</div>", 1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        price_text.alias("price_text"),
+        is_valid_price_text(price_text).alias("valid"),
+    )
+
+
+# -------------------------------------------------------------------------
+# S2 — param template scan: params map → canonical query string
+# -------------------------------------------------------------------------
+
+
+@q(
+    "param_template_scan",
+    """
+    SELECT c_custkey,
+           'https://api.example.com/search?currency=EUR&market=' || c_mktsegment ||
+           '&nation=' || c_nationkey || '&tier=' || (c_custkey % 3) AS url
+    FROM customer WHERE c_custkey <= 2000
+    """,
+)
+def q_param_template_scan(spark, sf_dir):
+    """S2 — the reference's per-competitor request params dict
+    (config.py params / mmk_tracker.py:127 ``session.get(url,
+    params=...)``) as an engine op: build the params as a MapType
+    column, render the canonical query string via
+    ``map_entries → sort_array → concat → array_join`` (sorted params —
+    the same normalization ``canonicalize_url`` applies). The oracle
+    derives the string directly from the base columns."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    params = F.create_map(
+        F.lit("market"), F.col("c_mktsegment"),
+        F.lit("nation"), F.col("c_nationkey").cast("string"),
+        F.lit("currency"), F.lit("EUR"),
+        F.lit("tier"), (F.col("c_custkey") % 3).cast("string"),
+    )
+    qs = F.array_join(
+        F.transform(
+            F.sort_array(F.map_entries(params)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        "&",
+    )
+    return c.select(
+        "c_custkey",
+        F.concat(F.lit("https://api.example.com/search?"), qs).alias("url"),
+    )
+
+
+# -------------------------------------------------------------------------
 # A2 — dict accumulation: map_from_entries(sort_array(collect_list(...)))
 # -------------------------------------------------------------------------
 

@@ -1,0 +1,113 @@
+"""Live-fetch stage scaffold (op P12 — executor-lifetime client state).
+
+The reference keeps one authenticated ``requests.Session`` alive across
+every fetch (nausys_tracker.py:202-214 builds it once from Selenium
+cookies; mmk_tracker.py:104-110 same pattern). The distributed
+re-expression: the HTTP client is constructed ONCE PER PYTHON WORKER
+PROCESS and reused across every Arrow batch that worker handles — never
+per row, never per batch. The sandbox has no network, so the *stage* is
+generic over a client factory: production plugs a real pooled HTTP
+client in; tests plug a mock that counts its own constructions, and the
+init-once contract is asserted in tests/test_http_fetch.py
+(constructions == worker processes, not rows).
+
+Dataflow position: this stage replaces the pages-table lookup join in
+``plans.rounds`` on a live crawl — same politeness-bounded input, same
+(url, status, body) output shape feeding the outcome split.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["http_fetch_stage", "make_mock_client", "FETCH_SCHEMA"]
+
+
+class _MockClient:
+    """Offline stand-in for a pooled HTTP client (no network in this
+    environment): deterministic 200 + echo body, counts its gets."""
+
+    def __init__(self):
+        self.n_gets = 0
+
+    def get(self, url: str):
+        self.n_gets += 1
+        return 200, f"payload:{url}"
+
+
+def make_mock_client() -> _MockClient:
+    return _MockClient()
+
+FETCH_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("status", IntegerType(), True),
+        StructField("body", StringType(), True),
+        StructField("worker_pid", LongType(), False),
+        StructField("client_seq", IntegerType(), False),
+    ]
+)
+
+# per-worker-process client cache: survives across tasks/batches while
+# the Python worker is reused (spark.python.worker.reuse, default on)
+_CLIENT = None
+_CONSTRUCTIONS = 0
+
+
+def _get_client(factory: Callable[[], object]) -> tuple:
+    """(client, constructions-so-far) for this worker process.
+
+    Runs as a by-reference module function on the worker, so it mutates
+    the live module globals — unlike the mapInPandas closure itself,
+    which cloudpickle ships by value with a snapshot globals dict (a
+    bare global read from the closure would always see the pickle-time
+    value).
+    """
+    global _CLIENT, _CONSTRUCTIONS
+    if _CLIENT is None:
+        _CLIENT = factory()
+        _CONSTRUCTIONS += 1
+    return _CLIENT, _CONSTRUCTIONS
+
+
+def http_fetch_stage(
+    df: DataFrame,
+    make_client: Callable[[], object],
+    url_col: str = "url",
+) -> DataFrame:
+    """Arrow-batched fetch: ``client.get(url) -> (status, body)``.
+
+    ``make_client`` runs at most once per worker process (P12's session
+    reuse); every output row carries (worker_pid, client_seq) lineage so
+    the init-once contract is directly observable: ``client_seq`` is the
+    number of constructions this worker had performed when the row was
+    fetched — it must be 1 everywhere.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client, n_constructions = _get_client(make_client)
+        pid = os.getpid()
+        for pdf in batches:
+            out = [client.get(u) for u in pdf[url_col]]
+            yield pd.DataFrame(
+                {
+                    "url": list(pdf[url_col]),
+                    "status": [s for s, _ in out],
+                    "body": [b for _, b in out],
+                    "worker_pid": [pid] * len(out),
+                    "client_seq": [n_constructions] * len(out),
+                }
+            )
+
+    return df.select(url_col).mapInPandas(run, schema=FETCH_SCHEMA)
