@@ -37,6 +37,8 @@ HEADLINE = [
     "cosine_topk",
     "dedup_embedding_neardup",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "corpus_clean",
     "listing_enrich",
     "weekly_periods_mmk",
     "quality_score",

@@ -20,11 +20,16 @@ from web_scraper_spark.operators.dedup import (
     shingles,
     simhash,
 )
-from web_scraper_spark.operators.multimodal import binary_meta, decode_features
+from web_scraper_spark.operators.multimodal import (
+    binary_meta,
+    decode_features,
+    frame_sample,
+)
 from web_scraper_spark.operators.similarity import (
     cosine,
     cosine_topk,
     embedding_neardup,
+    ivf_topk,
     lsh_bucket_topk,
 )
 
@@ -181,6 +186,70 @@ def test_multimodal_meta_and_decode(spark):
     # deterministic: same input → same feature
     feats2 = {r.doc_id: r for r in decode_features(df, "data", "doc_id").collect()}
     assert feats[1].feature == feats2[1].feature
+
+
+def test_ivf_topk_recall_and_plan(spark):
+    """IVF-probe ANN: candidates come only from probed cells (no
+    corpus×query cartesian), every returned neighbor's score is exact,
+    and recall@5 vs the brute-force baseline clears the bound. The only
+    nested-loop in the plan is the 1-row broadcast of the centroid
+    array (the zero-shuffle assignment attach), never the corpus×query
+    product."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    approx = ivf_topk(emb, q, n_cells=8, n_probe=2, k=5)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    exact_rows = cosine_topk(emb, q, k=5).collect()
+    approx_rows = approx.collect()
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets: dict[int, set[int]] = {}
+    exact_scores = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in cosine_topk(emb, q, k=emb.count()).collect()
+    }
+    for r in approx_rows:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        # scores within probed cells are exact, not approximated
+        assert r.cos_sim == exact_scores[(r.query_id, r.vec_id)]
+    hits = sum(len(exact_sets[qid] & approx_sets.get(qid, set())) for qid in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.5, f"recall@5 {recall:.2f} ({hits}/{total})"
+
+
+def test_frame_sample_shape_and_determinism(spark):
+    rows = [
+        (1, bytes(range(256)) * 20),  # 5120 bytes -> 5 frames, sample 4
+        (2, b"ab"),  # 1 short frame
+        (3, b""),  # empty -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    out = frame_sample(df, "data", "doc_id", frame_size=1024, max_frames=4)
+    got = sorted(out.collect(), key=lambda r: (r.doc_id, r.frame_idx))
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 5 frames sampled at (i*5)//4 -> global indices 0,1,2,3
+    assert [r.frame_idx for r in by_doc[1]] == [0, 1, 2, 3]
+    assert all(r.frame_len == 1024 for r in by_doc[1])
+    assert by_doc[1][0].offset == 0 and by_doc[1][3].offset == 3072
+    # mean of bytes 0..255 repeated = 127.5 -> 0.5
+    assert by_doc[1][0].byte_mean == pytest.approx(0.5, abs=1e-6)
+    assert by_doc[2][0].frame_len == 2
+    assert 3 not in by_doc
+    with pytest.raises(Exception):
+        frame_sample(df, "data", "doc_id", strict=True).collect()
 
 
 def test_multimodal_strict_stub_raises(spark):

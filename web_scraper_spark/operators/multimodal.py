@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["sniff_format", "binary_meta", "decode_features"]
+__all__ = ["sniff_format", "binary_meta", "decode_features", "frame_sample"]
 
 _MAGIC = [
     ("png", b"\x89PNG"),
@@ -136,3 +136,77 @@ def decode_features(
 
     src = df.select(F.col(id_col), F.col(data_col))
     return src.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("offset", LongType(), False),
+        StructField("frame_len", IntegerType(), False),
+        StructField("byte_mean", DoubleType(), False),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    frame_size: int = 1024,
+    max_frames: int = 4,
+    strict: bool = False,
+) -> DataFrame:
+    """Frame-sampling stage over binary payloads (video/audio stand-in).
+
+    Real pipelines seek keyframes with ffmpeg here; the deterministic
+    stand-in treats the payload as fixed-size byte windows ("frames")
+    and samples ``min(max_frames, n_frames)`` of them evenly across the
+    payload: sampled global frame index ``(i * n_frames) // n_sel``.
+    One output row per sampled frame — the fan-out (explode) shape a
+    real frame sampler produces, so downstream per-frame operators
+    (dedup, feature-extract) are exercised against the true cardinality.
+    Empty payloads produce no frames.
+
+    With ``strict=True`` raises ``NotImplementedError`` (media decode
+    genuinely unavailable in this container).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if strict:
+            raise NotImplementedError(
+                "media decode libraries are not available in this environment; "
+                "plug ffmpeg keyframe sampling into this mapInPandas stage"
+            )
+        for pdf in batches:
+            ids, fidx, offs, lens, means = [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[data_col]):
+                b = np.frombuffer(bytes(raw), dtype=np.uint8)
+                n = int(b.size)
+                if n == 0:
+                    continue
+                n_frames = -(-n // frame_size)
+                n_sel = min(max_frames, n_frames)
+                for s in range(n_sel):
+                    f = (s * n_frames) // n_sel
+                    off = f * frame_size
+                    chunk = b[off : off + frame_size]
+                    ids.append(int(i))
+                    fidx.append(f)
+                    offs.append(off)
+                    lens.append(int(chunk.size))
+                    means.append(round(float(chunk.mean()) / 255.0, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "offset": offs,
+                    "frame_len": lens,
+                    "byte_mean": means,
+                }
+            )
+
+    src = df.select(F.col(id_col), F.col(data_col))
+    return src.mapInPandas(run, schema=_FRAME_SCHEMA)

@@ -28,10 +28,11 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
-from ..operators.multimodal import binary_meta, decode_features
+from ..operators.multimodal import binary_meta, decode_features, frame_sample
 from ..operators.similarity import (
     cosine_topk,
     embedding_neardup,
+    ivf_topk,
     lsh_bucket_topk,
     plane_sign,
 )
@@ -303,6 +304,80 @@ def q_token_count(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_clean",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, upper(text) || '  ' FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000, '!!! ??? *** ### $$$' FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 300000, 'too short' FROM documents WHERE doc_id % 13 = 0
+    ),
+    canon AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
+        FROM corpus
+      ) WHERE rn = 1
+    ),
+    feats AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1)::DOUBLE AS alpha,
+             len(list_filter({_TOKS_SQL}, t -> t IN {_EN_LIST})) AS en,
+             len(list_filter({_TOKS_SQL}, t -> t IN {_TR_LIST})) AS tr
+      FROM canon
+    )
+    SELECT doc_id,
+           CASE WHEN en = 0 AND tr = 0 THEN 'und'
+                WHEN en >= tr THEN 'en' ELSE 'tr' END AS lang_pred,
+           n_tokens::BIGINT AS n_tokens,
+           round(alpha, 4) AS alpha_ratio
+    FROM feats
+    WHERE n_tokens >= 20 AND round(alpha, 4) >= 0.8
+    """,
+)
+def q_corpus_clean(spark, sf_dir):
+    """Flagship training-corpus preparation pipeline, one query: inject
+    noisy duplicates + junk docs, exact-dedup to canonical docs
+    (fingerprint window), language-ID, then quality gates (token budget
+    + alpha ratio) — the standard clean-crawl prep chain (dedup →
+    lang-ID → quality filter) composed from the engine's text
+    operators. One fingerprint shuffle + one projection; every stage is
+    native Columns."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs
+    for offset, expr in (
+        (100000, F.concat(F.upper("text"), F.lit("  "))),
+        (200000, F.lit("!!! ??? *** ### $$$")),
+        (300000, F.lit("too short")),
+    ):
+        mod = {100000: 7, 200000: 11, 300000: 13}[offset]
+        corpus = corpus.unionByName(
+            docs.filter(F.col("doc_id") % mod == 0).select(
+                (F.col("doc_id") + offset).alias("doc_id"), expr.alias("text")
+            )
+        )
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    canon = (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    f = quality_features(F.col("text"))
+    out = canon.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+    )
+    return out.filter((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.8))
+
+
 # -------------------------------------------------------------------------
 # similarity search over `embeddings`
 # -------------------------------------------------------------------------
@@ -428,7 +503,54 @@ def q_multimodal_meta(spark, sf_dir):
     return binary_meta(docs, "data").select("doc_id", "n_bytes", "content_md5")
 
 
-@q("multimodal_decode", None)  # stubbed decoder: rows-only check
+@q(
+    "multimodal_decode",
+    # The stub decoder is deterministic arithmetic over the payload
+    # bytes, so the oracle reproduces it exactly in SQL: bytes come out
+    # of hex() pairs (nibble lookup — no DuckDB get_byte needed),
+    # feature[k] = avg of bytes at positions ≡ k (mod 8) / 255. Integer
+    # byte sums are exact in float64 in both engines, so the division
+    # and %.6f formatting agree bit-for-bit.
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             hex(encode(text)) AS h,
+             octet_length(encode(text))::BIGINT AS n,
+             CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+                  WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+                  WHEN substr(text, 1, 4) = '%PDF' THEN 'pdf'
+                  WHEN substr(text, 1, 4) = '<htm' THEN 'html'
+                  ELSE 'unknown' END AS fmt
+      FROM documents
+    ),
+    positions AS (
+      SELECT doc_id, h, unnest(generate_series(0, n - 1)) AS p
+      FROM docs WHERE n > 0
+    ),
+    vals AS (
+      SELECT doc_id, (p % 8)::INT AS k,
+             (strpos('0123456789ABCDEF', substr(h, 2 * p + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 2 * p + 2, 1)) - 1) AS v
+      FROM positions
+    ),
+    means AS (
+      SELECT doc_id, k, avg(v) / 255.0 AS m FROM vals GROUP BY doc_id, k
+    ),
+    grid AS (
+      SELECT doc_id, unnest(generate_series(0, 7))::INT AS k FROM docs
+    ),
+    feat AS (
+      SELECT g.doc_id,
+             string_agg(printf('%.6f', coalesce(m.m, 0.0)), ',' ORDER BY g.k)
+               AS feature_csv
+      FROM grid g LEFT JOIN means m ON m.doc_id = g.doc_id AND m.k = g.k
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, d.n AS n_bytes, d.fmt AS format, f.feature_csv,
+           (d.n // 1024 + 1)::INT AS n_frames
+    FROM docs d JOIN feat f ON f.doc_id = d.doc_id
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched decode/feature stage over binary payloads
     (deterministic stub features; real decoder drops into the same
@@ -448,6 +570,117 @@ def q_multimodal_decode(spark, sf_dir):
         ).alias("feature_csv"),
         "n_frames",
     )
+
+
+@q(
+    "multimodal_frames",
+    # same hex-pair byte extraction as the decode oracle; sampled global
+    # frame index = (i * n_frames) // n_sel, evenly spread, collision-free
+    # because n_sel <= n_frames
+    """
+    WITH docs AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text))::BIGINT AS n
+      FROM documents
+    ),
+    sel AS (
+      SELECT doc_id, n, ((n + 1023) // 1024) AS nf,
+             unnest(generate_series(0, least(4, (n + 1023) // 1024) - 1)) AS i
+      FROM docs WHERE n > 0
+    ),
+    frames AS (
+      SELECT doc_id, n,
+             ((i * nf) // least(4, nf))::INT AS frame_idx
+      FROM sel
+    ),
+    positions AS (
+      SELECT doc_id, h, unnest(generate_series(0, n - 1)) AS p
+      FROM docs WHERE n > 0
+    ),
+    vals AS (
+      SELECT doc_id, (p // 1024) AS fid,
+             (strpos('0123456789ABCDEF', substr(h, 2 * p + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 2 * p + 2, 1)) - 1) AS v
+      FROM positions
+    ),
+    means AS (
+      SELECT doc_id, fid, avg(v) AS m FROM vals GROUP BY doc_id, fid
+    )
+    SELECT f.doc_id, f.frame_idx,
+           (f.frame_idx * 1024)::BIGINT AS offset,
+           least(1024, f.n - f.frame_idx * 1024)::INT AS frame_len,
+           round(m.m / 255.0, 6) AS byte_mean
+    FROM frames f JOIN means m ON m.doc_id = f.doc_id AND m.fid = f.frame_idx
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling stage (video/audio stand-in): fan out each binary
+    payload to evenly-sampled fixed-size byte windows via the Arrow
+    ``frame_sample`` stage — the explode shape a real ffmpeg keyframe
+    sampler produces."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return frame_sample(docs, "data", "doc_id", frame_size=1024, max_frames=4)
+
+
+_IVF_COS = (
+    "round(list_dot_product({a}, {b}) / greatest("
+    "sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})),"
+    " 1e-12), 4)"
+)
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, ev AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, ev, cell_id FROM (
+        SELECT e.vec_id, e.ev, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.ev', b='c.cv')} DESC, c.cell_id
+               ) AS r
+        FROM e CROSS JOIN c
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell_id FROM (
+        SELECT q.query_id, q.qv, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a='q.qv', b='c.cv')} DESC, c.cell_id
+               ) AS r
+        FROM q CROSS JOIN c
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             {_IVF_COS.format(a='p.qv', b='a.ev')} AS cos_sim
+      FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+           ) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-probe ANN: Voronoi cell assignment (zero-shuffle in-row
+    argmax over the broadcast centroid array), n_probe=2 cells per
+    query, exact cosine ranking within probed cells. The second ANN
+    scale path next to hyperplane LSH."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_topk(emb, queries, n_cells=8, n_probe=2, k=5)
 
 
 # -------------------------------------------------------------------------
