@@ -399,7 +399,17 @@ class CrawlEngine:
         # P1 extraction — the only Python stage, Arrow-batched. Per-host
         # volume is already bounded upstream by the politeness budget,
         # which is what kills hot-host skew before this stage.
-        extracted = extract_pages(with_html).cache()
+        # The extraction product is materialized ONCE to the catalog and
+        # every downstream consumer (fetch log, discoveries) reads the
+        # WRITTEN partition with column pruning. Never .cache() this
+        # frame: at 600k ~19 KB pages the deserialized rows are ~8 GiB
+        # of storage pool, which squeezed execution memory until the
+        # frontier-merge hash aggregate threw AGGREGATE_OUT_OF_MEMORY on
+        # the default heap — and at 100 TB caching the extraction output
+        # is not an option at all. ``partition_id`` (the extraction
+        # task's lineage) is materialized into the table so the re-read
+        # preserves W3 per-partition lineage.
+        extracted = extract_pages(with_html)
 
         extractions = extracted.select(
             F.lit(round_id).alias("round_id"),
@@ -411,8 +421,15 @@ class CrawlEngine:
             "period_to",
             "details",
             "text",
+            "host",
+            "outlinks",
+            F.spark_partition_id().alias("partition_id"),
+            *[F.col(c) for c in PRIORITY_COLS if c != "url"],
         )
         self.catalog.write_round_partition("extractions", extractions)
+        ext = self.catalog.read_log("extractions").filter(
+            F.col("round_id") == round_id
+        )
 
         # W3 fetch log (per-partition lineage + metrics source)
         log = (
@@ -421,7 +438,19 @@ class CrawlEngine:
                 self._log_rows(timeouts, round_id, "error", _TIMEOUT_ERROR)
             )
             .unionByName(self._log_rows(empties, round_id, "empty", None))
-            .unionByName(self._log_rows(extracted, round_id, "success", None))
+            .unionByName(
+                # success rows come off the written extractions table —
+                # narrow projection, stored lineage partition_id
+                ext.select(
+                    F.lit(round_id).alias("round_id"),
+                    "url",
+                    "host",
+                    F.lit("success").alias("status"),
+                    F.lit(None).cast("string").alias("error"),
+                    "partition_id",
+                    *[F.col(c) for c in PRIORITY_COLS if c != "url"],
+                )
+            )
         )
         self.catalog.write_round_partition("fetch_log", log)
 
@@ -430,7 +459,7 @@ class CrawlEngine:
             F.col("host").alias("d_host"), F.col("seed_rank").alias("d_seed_rank")
         )
         discoveries = (
-            extracted.select(
+            ext.select(
                 F.col("depth").alias("parent_depth"),
                 F.explode("outlinks").alias("raw_link"),
             )
@@ -573,7 +602,6 @@ class CrawlEngine:
         }
         self.catalog.commit_round(round_id, info)
         fetched.unpersist()
-        extracted.unpersist()
         for h in round_caches:
             h.unpersist()
         return {"round_id": round_id, "status": "committed", **info}
