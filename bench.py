@@ -151,9 +151,21 @@ def main() -> int:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(time.monotonic() - total0, 3)
+    # round-over-round comparability: the headline set GROWS as operators
+    # land, so `value` is not comparable across rounds by itself. This is
+    # the sum over exactly the round-1 query set.
+    r1_set = {
+        "crawl_round", "crawl_init_frontier", "politeness_budget",
+        "seen_antijoin", "url_canonicalize", "latest_per_key",
+        "price_compare", "dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
+        "cosine_topk", "quality_score", "token_count", "pricing_summary",
+        "top_revenue_orders", "nation_volume", "events_hour_window",
+    }
+    comparable = round(sum(v for k, v in timings.items() if k in r1_set), 3)
     out = {
         "metric": "crawl_round_plus_headline_queries_wall",
         "value": total,
+        "value_comparable_r1": comparable,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,

@@ -1,0 +1,74 @@
+"""Hot-host skew: politeness bounds the skewed key BEFORE any wide stage.
+
+The scale claim (BENCH/BASELINE.md, north rule 'salt-and-repartition by
+host-hash to kill hot-host skew'): a host with millions of frontier rows
+must not translate into a hot reducer downstream. Two mechanisms, both
+pinned here:
+
+1. the per-host window compiles to WindowGroupLimit with a PARTIAL
+   map-side pass — each map task forwards at most ``host_budget`` rows
+   per host into the shuffle, so the hot host's reducer receives
+   O(n_map_tasks x budget) rows, never its full frontier volume;
+2. the fetch/extraction layout re-salts by (host_bucket, url_hash % P)
+   (plans/rounds.py shuffle path), spreading one host's selected rows
+   over all workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.politeness import select_polite
+from web_scraper_spark.sources.fixtures import PolitenessSpec
+
+
+def _skewed_frontier(spark, hot_rows: int, cold_hosts: int, cold_rows: int):
+    hot = spark.range(hot_rows).select(
+        F.lit("hot.example.com").alias("host"),
+        F.concat(F.lit("https://hot.example.com/p/"), F.col("id")).alias("url"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovery_round"),
+        F.lit(1).alias("seed_rank"),
+        (F.col("id") % 37).cast("int").alias("yacht_rank"),
+        (F.col("id") % 28).cast("int").alias("period_idx"),
+    )
+    cold = spark.range(cold_hosts * cold_rows).select(
+        F.concat(
+            F.lit("cold"), (F.col("id") % cold_hosts), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(F.lit("https://c/"), F.col("id")).alias("url"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovery_round"),
+        F.lit(2).alias("seed_rank"),
+        (F.col("id") % 37).cast("int").alias("yacht_rank"),
+        (F.col("id") % 28).cast("int").alias("period_idx"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_hot_host_bounded_by_partial_window(spark):
+    """A 200k-row host yields exactly host_budget rows, the plan carries
+    the map-side (Partial) WindowGroupLimit, and cold hosts are
+    unaffected by the hot one."""
+    frontier = _skewed_frontier(spark, hot_rows=200_000, cold_hosts=50, cold_rows=100)
+    robots = spark.createDataFrame(
+        [("hot.example.com", 30)], "host string, crawl_delay_s int"
+    )
+    spec = PolitenessSpec(
+        round_seconds=3000, global_batch_urls=1_000_000, global_pause_s=3000
+    )
+    sel = select_polite(frontier, robots, spec)
+
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side prefilter before the host shuffle
+
+    per_host = {
+        r.host: r.n
+        for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    # hot host: 3000s / 30s delay = 100 rows, no matter its 200k volume
+    assert per_host["hot.example.com"] == 100
+    # cold hosts: 3000s / default 30s = 100, capped by their 100 rows
+    assert per_host["cold0.example.com"] == 100
+    assert len(per_host) == 51

@@ -92,9 +92,22 @@ def select_polite(
     )
 
     w_host = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in PRIORITY_COLS])
+    # A LITERAL rank cap rides along with the exact per-host (variable)
+    # budget filter: only a literal rank predicate triggers Catalyst's
+    # InferWindowGroupLimit, which inserts the map-side PARTIAL
+    # WindowGroupLimit BEFORE the host shuffle. Without it, a hot host's
+    # entire frontier volume shuffles to one reducer; with it, each map
+    # task forwards at most ``round_seconds`` rows per host (delay >= 1 s
+    # after the zero-guard bounds every host budget by round_seconds).
+    # The variable filter then applies the exact budget on the reduced
+    # rows. Pinned by tests/test_skew.py.
+    rank_cap = max(1, spec.round_seconds)
     per_host = (
         with_delay.withColumn("__rn_host", F.row_number().over(w_host))
-        .filter(F.col("__rn_host") <= F.col("__host_budget"))
+        .filter(
+            (F.col("__rn_host") <= F.lit(rank_cap))
+            & (F.col("__rn_host") <= F.col("__host_budget"))
+        )
         .drop("__rn_host", "__host_budget", "crawl_delay_s")
     )
 

@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # The politeness stage guards its per-host window with a literal
+        # rank cap of round_seconds (operators/politeness.py) so the
+        # map-side PARTIAL WindowGroupLimit fires and a hot host never
+        # shuffles its full frontier volume. The default threshold (1000)
+        # would silently disable the rewrite for round_seconds > 1000 —
+        # the partial pass is a streaming rank filter, so a larger cap
+        # costs nothing.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "10000000")
         # Input splits size the task count of map stages that follow a
         # scan (the Arrow extraction stage inherits them — with wide
         # compressed html, 128 MiB splits starve a 32-core box). 32 MiB
