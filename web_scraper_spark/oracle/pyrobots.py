@@ -1,0 +1,68 @@
+"""Pure-Python twin of ``operators/robots_txt.parse_robots_txt``.
+
+Same group-scoping semantics (RFC 9309 subset), independently
+implemented over plain string ops so hypothesis can cross-check the
+Column-expression parser on arbitrary robots.txt files
+(tests/test_robots_property.py). Mirrors the engine's exact lexical
+choices: lines split on ``\\r?\\n``, inline ``#`` comments stripped,
+SPACE-only trim (Spark ``F.trim``), case-insensitive directive
+prefixes, a ``Crawl-delay`` line with any value opens/continues a group
+but only digit-valued ones yield a delay, last in-scope delay wins.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["parse_robots"]
+
+_AGENT = re.compile(r"^user-agent\s*:", re.I)
+_DISALLOW = re.compile(r"^disallow\s*:", re.I)
+_DELAY_DIR = re.compile(r"^crawl-delay\s*:", re.I)
+_DELAY_VAL = re.compile(r"^crawl-delay\s*:\s*(\d+)", re.I)
+
+
+def parse_robots(
+    txt: str, user_agent: str = "*", default_crawl_delay: int = 30
+) -> tuple[list[str], int]:
+    """(disallow paths in file order, crawl_delay_s) for ``user_agent``."""
+    lines = [
+        re.sub(r"#.*$", "", l).strip(" ")
+        for l in re.split(r"\r?\n", txt)
+    ]
+    agents = [
+        (i + 1, _AGENT.sub("", l).strip(" ").lower())
+        for i, l in enumerate(lines)
+        if _AGENT.match(l)
+    ]
+    dirs = [
+        i + 1
+        for i, l in enumerate(lines)
+        if _DISALLOW.match(l) or _DELAY_DIR.match(l)
+    ]
+    named = [a for a in agents if a[1] == user_agent.lower()]
+    chosen = named if named else [a for a in agents if a[1] == "*"]
+
+    def in_scope(i: int) -> bool:
+        return any(
+            ai < i
+            and not any(
+                ai < bi < i and any(ai < d < bi for d in dirs)
+                for bi, _ in agents
+            )
+            for ai, _ in chosen
+        )
+
+    disallow = [
+        _DISALLOW.sub("", l).strip(" ")
+        for i, l in enumerate(lines)
+        if _DISALLOW.match(l) and in_scope(i + 1)
+    ]
+    disallow = [p for p in disallow if p != ""]
+
+    delays = [
+        int(_DELAY_VAL.match(l).group(1))
+        for i, l in enumerate(lines)
+        if _DELAY_VAL.match(l) and in_scope(i + 1)
+    ]
+    return disallow, (delays[-1] if delays else default_crawl_delay)
