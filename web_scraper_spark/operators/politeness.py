@@ -63,12 +63,20 @@ def select_polite(
     robots: DataFrame,
     spec: PolitenessSpec,
     cache_handles: list | None = None,
+    candidate_upper_bound: int | None = None,
 ) -> DataFrame:
     """Politeness-budgeted, priority-ordered selection for one round.
 
     Output = the reference-equivalent set: per host, the first
     ``host_budget`` rows in priority order; globally, the first
     ``global_budget`` of those in total priority order.
+
+    ``candidate_upper_bound``: a known upper bound on ``candidates``
+    rows (e.g. the frontier count, a footer-only parquet statistic).
+    When the bound proves the global budget cannot bind, the global
+    limit machinery (range partition + persist + count jobs for the
+    distributed top-G) is skipped entirely — it would select everything
+    anyway.
     """
     with_delay = candidates.join(
         F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left"
@@ -112,7 +120,13 @@ def select_polite(
     )
 
     # global budget: TakeOrdered for modest G (distributed top-G, driver
-    # merge); range-partitioned exact limit for frontier-scale G
+    # merge); range-partitioned exact limit for frontier-scale G; no
+    # limit at all when the budget provably exceeds the candidate count
+    if (
+        candidate_upper_bound is not None
+        and candidate_upper_bound <= spec.global_budget
+    ):
+        return per_host
     if spec.global_budget > DISTRIBUTED_LIMIT_THRESHOLD:
         return global_priority_limit(
             per_host, PRIORITY_COLS, spec.global_budget, cache_handles=cache_handles

@@ -94,17 +94,21 @@ class CrawlEngine:
     # 20 GiB heap) — switch to the salted shuffle join
     BROADCAST_FETCH_THRESHOLD: int = 100_000
 
-    def _resolve_fetch_join(self, frontier: DataFrame) -> str:
+    def _resolve_fetch_join(self, frontier: DataFrame, frontier_rows: int | None = None) -> str:
         """Pick the html-fetch join strategy from a sound plan-time
         bound on the selection size: the politeness stage emits at most
         ``min(global_budget, frontier rows)`` rows. The frontier count
         is a footer-only parquet scan (count(*) prunes every column),
-        so the estimate costs no data I/O."""
+        so the estimate costs no data I/O; pass ``frontier_rows`` to
+        reuse a count the round already took."""
         if self.fetch_join != "auto":
             return self.fetch_join
         est = self.spec.global_budget
         if est > self.BROADCAST_FETCH_THRESHOLD:
-            est = min(est, frontier.count())
+            est = min(
+                est,
+                frontier_rows if frontier_rows is not None else frontier.count(),
+            )
         return "broadcast" if est <= self.BROADCAST_FETCH_THRESHOLD else "shuffle"
 
     # ------------------------------------------------------------------
@@ -335,9 +339,19 @@ class CrawlEngine:
             allowed, seen, bloom, self.n_buckets, confirm_cols=["url_hash", "url"]
         )
 
-        # R1-R5 politeness + R8 priority + global budget
+        # R1-R5 politeness + R8 priority + global budget. The frontier
+        # row count (one footer-only statistics job) serves two
+        # plan-time decisions: skipping the global-limit machinery when
+        # the budget provably cannot bind, and the fetch-join strategy.
+        frontier_rows = frontier.count()
         round_caches: list = []
-        selected = select_polite(unseen, robots, self.spec, cache_handles=round_caches)
+        selected = select_polite(
+            unseen,
+            robots,
+            self.spec,
+            cache_handles=round_caches,
+            candidate_upper_bound=frontier_rows,
+        )
 
         # fetch = lookup join against the pages table on the 64-bit key,
         # string-confirmed (hash-collision guard). Two-phase for width:
@@ -378,7 +392,7 @@ class CrawlEngine:
         join_cond = (successes.url_hash == page_html.p2h) & (
             successes.url == page_html.p2u
         )
-        if self._resolve_fetch_join(frontier) == "broadcast":
+        if self._resolve_fetch_join(frontier, frontier_rows) == "broadcast":
             # html never shuffles: the selection ships to the pages scan
             with_html = page_html.join(F.broadcast(successes), join_cond).drop(
                 "p2h", "p2u"
