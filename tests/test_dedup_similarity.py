@@ -188,6 +188,27 @@ def test_multimodal_meta_and_decode(spark):
     assert feats[1].feature == feats2[1].feature
 
 
+def test_ngram_dup_fraction(spark):
+    from web_scraper_spark.functions.textstats import ngram_dup_fraction
+
+    rows = [
+        (1, "one two three four five six"),  # all trigrams distinct -> 0
+        (2, ("spam ham " * 20).strip()),  # near-total repetition
+        (3, "a b"),  # fewer than 3 tokens -> 0
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", ngram_dup_fraction(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] > 0.9
+    assert got[3] == 0.0 and got[4] == 0.0
+
+
 def test_ivf_topk_recall_and_plan(spark):
     """IVF-probe ANN: candidates come only from probed cells (no
     corpus×query cartesian), every returned neighbor's score is exact,

@@ -46,6 +46,30 @@ def _skewed_frontier(spark, hot_rows: int, cold_hosts: int, cold_rows: int):
     return hot.unionByName(cold)
 
 
+def test_candidate_upper_bound_skip_is_exact(spark):
+    """The budget-cannot-bind shortcut must return the identical row set
+    as the full global-limit path (and engage only when sound)."""
+    frontier = _skewed_frontier(spark, hot_rows=5_000, cold_hosts=20, cold_rows=50)
+    robots = spark.createDataFrame(
+        [("hot.example.com", 15)], "host string, crawl_delay_s int"
+    )
+    # global budget 200k >> 6k candidates -> shortcut may engage
+    spec = PolitenessSpec(
+        round_seconds=600, global_batch_urls=200_000, global_pause_s=600
+    )
+    n = frontier.count()
+    with_bound = select_polite(frontier, robots, spec, candidate_upper_bound=n)
+    without = select_polite(frontier, robots, spec)
+    got_a = {r.url for r in with_bound.collect()}
+    got_b = {r.url for r in without.collect()}
+    assert got_a == got_b and len(got_a) > 0
+
+    # binding budget: the bound must NOT skip the limit
+    tight = PolitenessSpec(round_seconds=600, global_batch_urls=7, global_pause_s=600)
+    sel = select_polite(frontier, robots, tight, candidate_upper_bound=n)
+    assert sel.count() == tight.global_budget
+
+
 def test_hot_host_bounded_by_partial_window(spark):
     """A 200k-row host yields exactly host_budget rows, the plan carries
     the map-side (Partial) WindowGroupLimit, and cold hosts are

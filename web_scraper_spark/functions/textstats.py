@@ -20,6 +20,7 @@ __all__ = [
     "lang_id",
     "quality_features",
     "quality_score",
+    "ngram_dup_fraction",
     "fingerprint",
     "EN_STOPWORDS",
     "TR_STOPWORDS",
@@ -87,6 +88,33 @@ def quality_features(text: Column) -> dict[str, Column]:
         "punct_ratio": F.round(n_punct / safe_chars.cast("double"), 4),
         "stopword_ratio": F.round(n_stop / safe_toks.cast("double"), 4),
     }
+
+
+def ngram_dup_fraction(text: Column, n: int = 3) -> Column:
+    """Within-document repetition signal: the fraction of a document's
+    token ``n``-grams that are repeats of an earlier one —
+    ``1 - distinct_ngrams / total_ngrams`` (the Gopher-family duplicate
+    n-gram filter). Pure array Columns: tokens → sliding n-grams via
+    ``transform(sequence(...))`` → ``array_distinct`` — zero shuffle,
+    zero Python, and a direct DuckDB twin (``list_transform`` +
+    ``list_distinct``). Documents with fewer than ``n`` tokens score 0.
+    """
+    lowered = F.lower(text)
+    toks = tokens(lowered)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(k <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            4,
+        )
+    )
 
 
 def quality_score(text: Column) -> Column:

@@ -17,6 +17,7 @@ from ..functions.textstats import (
     bpe_ish_token_count,
     fingerprint,
     lang_id,
+    ngram_dup_fraction,
     quality_features,
     token_count,
 )
@@ -301,6 +302,48 @@ def q_token_count(spark, sf_dir):
             F.sum(token_count(F.col("text"))).cast("long").alias("ws_tokens"),
             F.sum(bpe_ish_token_count(F.col("text"))).cast("long").alias("bpe_ish_tokens"),
         )
+    )
+
+
+@q(
+    "repetition_score",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 400000, repeat('buy now great deal ', 25) FROM documents WHERE doc_id % 17 = 0
+    ),
+    t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus
+    ),
+    g AS (
+      SELECT doc_id, len(toks) - 2 AS k,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+             ) AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN k <= 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+           END AS dup3_fraction
+    FROM g
+    """,
+)
+def q_repetition_score(spark, sf_dir):
+    """Within-doc repetition (Gopher-family duplicate-3-gram fraction):
+    ``1 - distinct/total`` over sliding token trigrams, pure array
+    Columns (no shuffle, no Python). Injected spam docs (a phrase
+    repeated 25x) must score near 1, organic docs near 0."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    spam = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.repeat(F.lit("buy now great deal "), 25).alias("text"),
+    )
+    corpus = docs.unionByName(spam)
+    return corpus.select(
+        "doc_id", ngram_dup_fraction(F.col("text"), n=3).alias("dup3_fraction")
     )
 
 
