@@ -21,6 +21,7 @@ __all__ = [
     "quality_features",
     "quality_score",
     "ngram_dup_fraction",
+    "line_noise_features",
     "fingerprint",
     "EN_STOPWORDS",
     "TR_STOPWORDS",
@@ -115,6 +116,37 @@ def ngram_dup_fraction(text: Column, n: int = 3) -> Column:
             4,
         )
     )
+
+
+def line_noise_features(text: Column) -> dict[str, Column]:
+    """Line-structure noise signals for extracted page text (the
+    RefinedWeb-style boilerplate heuristics): short-line and bullet-line
+    fractions flag navigation/menu residue, mean line length flags
+    fragmented extraction. Pure array Columns over ``split('\\n')`` —
+    no shuffle, no Python; DuckDB twin via ``string_split`` +
+    ``list_filter``. Empty input → one empty line (split semantics),
+    fractions 0 or 1 accordingly; callers gate on ``n_lines``.
+    """
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    denom = F.greatest(n_lines, F.lit(1)).cast("double")
+
+    def line_tokens(l: Column) -> Column:
+        return F.size(F.filter(F.split(l, r"\s+"), lambda t: t != ""))
+
+    short = F.size(F.filter(lines, lambda l: line_tokens(l) < 5))
+    bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+    )
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    return {
+        "n_lines": n_lines,
+        "short_line_fraction": F.round(short / denom, 4),
+        "bullet_line_fraction": F.round(bullet / denom, 4),
+        "mean_line_chars": F.round(total_chars / denom, 4),
+    }
 
 
 def quality_score(text: Column) -> Column:

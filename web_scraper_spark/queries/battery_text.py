@@ -17,6 +17,7 @@ from ..functions.textstats import (
     bpe_ish_token_count,
     fingerprint,
     lang_id,
+    line_noise_features,
     ngram_dup_fraction,
     quality_features,
     token_count,
@@ -344,6 +345,62 @@ def q_repetition_score(spark, sf_dir):
     corpus = docs.unionByName(spam)
     return corpus.select(
         "doc_id", ngram_dup_fraction(F.col("text"), n=3).alias("dup3_fraction")
+    )
+
+
+_LINETOK = "len(list_filter(regexp_split_to_array(l, '\\s+'), t -> t <> ''))"
+
+
+@q(
+    "web_noise",
+    f"""
+    WITH pagey AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               '# ' || substr(text, 1, 40),
+               '- item ' || doc_id,
+               '* promo',
+               text,
+               'ok bye') AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM pagey
+    )
+    SELECT doc_id,
+           len(lines)::INT AS n_lines,
+           round(len(list_filter(lines, l -> {_LINETOK} < 5))
+                 / greatest(len(lines), 1)::DOUBLE, 4) AS short_line_fraction,
+           round(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+                 / greatest(len(lines), 1)::DOUBLE, 4) AS bullet_line_fraction,
+           round(list_sum(list_transform(lines, l -> length(l)))
+                 / greatest(len(lines), 1)::DOUBLE, 4) AS mean_line_chars
+    FROM l
+    """,
+)
+def q_web_noise(spark, sf_dir):
+    """Line-structure noise signals (RefinedWeb-style boilerplate
+    heuristics) over synthetic multi-line page text: heading + bullet
+    residue + body lines composed deterministically from `documents`.
+    All pure array Columns — no shuffle, no Python."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("# "), F.substring("text", 1, 40)),
+            F.concat(F.lit("- item "), F.col("doc_id").cast("string")),
+            F.lit("* promo"),
+            F.col("text"),
+            F.lit("ok bye"),
+        ).alias("text"),
+    )
+    f = line_noise_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_lines"].alias("n_lines"),
+        f["short_line_fraction"].alias("short_line_fraction"),
+        f["bullet_line_fraction"].alias("bullet_line_fraction"),
+        f["mean_line_chars"].alias("mean_line_chars"),
     )
 
 
