@@ -1,0 +1,62 @@
+"""Catalog maintenance: snapshot expiration + small-file compaction
+(the Iceberg expire_snapshots / rewrite_data_files actions a long crawl
+needs — every round is a copy-on-write snapshot)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.sources.catalog import ParquetSnapshotCatalog
+
+
+@pytest.fixture()
+def catalog(spark):
+    tmp = tempfile.mkdtemp(prefix="wss_maint_")
+    yield ParquetSnapshotCatalog(spark, tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_expire_snapshots_keeps_recent_and_current(spark, catalog):
+    for v in range(1, 6):
+        df = spark.range(10).select((F.col("id") + v).alias("x"))
+        catalog.write_snapshot("t", df, version=v)
+    expired = catalog.expire_snapshots("t", keep_last=2)
+    assert expired == [1, 2, 3]
+    assert catalog.current_version("t") == 5
+    # retained versions still time-travel
+    assert catalog.read("t", version=4).agg(F.min("x")).first()[0] == 4
+    # expired data is gone and no longer rollback-able
+    assert not os.path.exists(catalog.snapshot_dir("t", 2))
+    with pytest.raises(ValueError):
+        catalog.rollback("t", 2)
+    # idempotent
+    assert catalog.expire_snapshots("t", keep_last=2) == []
+
+
+def test_expire_never_drops_current_after_rollback(spark, catalog):
+    for v in range(1, 4):
+        catalog.write_snapshot("t", spark.range(5).toDF("x"), version=v)
+    catalog.rollback("t", 1)
+    expired = catalog.expire_snapshots("t", keep_last=1)
+    # current (1) survives even though it is not the newest
+    assert 1 not in expired
+    assert catalog.read("t").count() == 5
+
+
+def test_compact_snapshot_preserves_data_and_reduces_files(spark, catalog):
+    df = spark.range(1000).repartition(16).toDF("x")
+    catalog.write_snapshot("t", df, version=1)
+    path = catalog.snapshot_dir("t", 1)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 8
+    catalog.compact_snapshot("t", target_partitions=2)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after <= 2
+    got = sorted(r.x for r in catalog.read("t").collect())
+    assert got == list(range(1000))
+    assert catalog.current_version("t") == 1

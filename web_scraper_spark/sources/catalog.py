@@ -108,6 +108,52 @@ class ParquetSnapshotCatalog:
         manifest["current"] = version
         self._commit_manifest(name, manifest)
 
+    # ---- maintenance (Iceberg expire_snapshots / rewrite_data_files) ------
+    def expire_snapshots(self, name: str, keep_last: int) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshot versions (the
+        current version is always kept). A long crawl would otherwise
+        retain every round's full copy-on-write frontier forever —
+        Iceberg's ``expire_snapshots`` maintenance action. Returns the
+        expired versions. Manifest commits BEFORE the data deletes, so
+        a crash between the two leaves unreferenced files (harmless,
+        re-collectable), never a referenced-but-deleted version.
+        """
+        manifest = self._read_manifest(name)
+        history = manifest["history"]
+        current = manifest["current"]
+        keep = set(sorted(history)[-max(1, keep_last):]) | {current}
+        expired = [v for v in history if v not in keep]
+        if not expired:
+            return []
+        manifest["history"] = [v for v in history if v in keep]
+        self._commit_manifest(name, manifest)
+        for v in expired:
+            shutil.rmtree(self.snapshot_dir(name, v), ignore_errors=True)
+        return expired
+
+    def compact_snapshot(self, name: str, target_partitions: int) -> None:
+        """Rewrite the CURRENT snapshot into ``target_partitions`` files
+        (Iceberg's ``rewrite_data_files`` small-file compaction). Many
+        rounds of bucketed writes accumulate small files whose per-file
+        open cost dominates scans; compaction rewrites them at the same
+        version (the manifest pointer is unchanged — same data, new
+        layout, atomic via a staged directory swap)."""
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        path = self.snapshot_dir(name, v)
+        staged = path + ".compact"
+        (
+            self.read(name, version=v)
+            .repartition(target_partitions)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        old = path + ".old"
+        os.replace(path, old)
+        os.replace(staged, path)
+        shutil.rmtree(old, ignore_errors=True)
+
     # ---- append tables (fetch_log, extractions, metrics) ------------------
     def append_dir(self, name: str) -> str:
         return os.path.join(self.root, name, "data")
