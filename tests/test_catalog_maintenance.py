@@ -48,6 +48,43 @@ def test_expire_never_drops_current_after_rollback(spark, catalog):
     assert catalog.read("t").count() == 5
 
 
+def test_engine_snapshot_retention(spark, world):
+    """snapshot_retention=1 keeps only the latest frontier/seen_bloom
+    versions after each committed round, and resume still works."""
+    from web_scraper_spark.plans.rounds import CrawlEngine
+    from web_scraper_spark.sources.pages_source import (
+        resolve_pages,
+        write_world_parquet,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="wss_retention_")
+    try:
+        paths = write_world_parquet(world, tmp + "/world")
+        catalog = ParquetSnapshotCatalog(spark, tmp + "/state")
+        engine = CrawlEngine(
+            spark,
+            catalog,
+            world.config.politeness,
+            n_buckets=8,
+            snapshot_retention=1,
+        )
+        seeds = spark.read.parquet(paths["seeds"])
+        robots = spark.read.parquet(paths["robots"])
+        pages = resolve_pages(spark.read.parquet(paths["pages"]))
+        engine.init_frontier(seeds, world.config.period_start, world.config.period_end)
+        engine.run(2, pages, robots, seeds)
+
+        assert catalog.current_version("frontier") == 2
+        assert not os.path.exists(catalog.snapshot_dir("frontier", 1))
+        assert catalog.read("frontier").count() > 0
+        # resume past committed rounds is still a no-op extension
+        stats = engine.run(3, pages, robots, seeds)
+        assert [s["round_id"] for s in stats] == [1, 2, 3]
+        assert catalog.current_version("frontier") == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_compact_snapshot_preserves_data_and_reduces_files(spark, catalog):
     df = spark.range(1000).repartition(16).toDF("x")
     catalog.write_snapshot("t", df, version=1)

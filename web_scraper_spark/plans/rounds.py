@@ -88,6 +88,12 @@ class CrawlEngine:
     # exactly spec.global_budget rows, so the budget is a sound size
     # estimate known at plan time. Env override for benches.
     fetch_join: str = os.environ.get("WSS_FETCH_JOIN", "auto")
+    # keep this many frontier/seen_bloom snapshot versions (None = all).
+    # Every round is a copy-on-write snapshot; an unbounded daily crawl
+    # retains its full history forever without this. Resume only ever
+    # needs the last committed round; deeper time travel is a retention
+    # policy choice.
+    snapshot_retention: int | None = None
 
     # above this many selected URLs, broadcasting the selection means a
     # multi-hundred-MB driver hash table (measured: 600k rows needed a
@@ -615,6 +621,15 @@ class CrawlEngine:
             "frontier_version": round_id,
         }
         self.catalog.commit_round(round_id, info)
+        if self.snapshot_retention is not None:
+            # maintenance AFTER the round commit: expiring only versions
+            # older than the retention window can never touch the
+            # snapshot a resume would read
+            self.catalog.expire_snapshots("frontier", self.snapshot_retention)
+            if self.use_bloom:
+                self.catalog.expire_snapshots(
+                    "seen_bloom", self.snapshot_retention
+                )
         fetched.unpersist()
         for h in round_caches:
             h.unpersist()
