@@ -405,6 +405,65 @@ def q_web_noise(spark, sf_dir):
 
 
 @q(
+    "contact_density",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact sales' || doc_id ||
+                               '@example-corp.com or see https://shop.example/item/' || doc_id
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_emails,
+           len(regexp_extract_all(lower(text), 'https?://[^\s]+'))::INT AS n_urls,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / greatest(length(text), 1)::DOUBLE, 4) AS digit_ratio
+    FROM corpus
+    """,
+)
+def q_contact_density(spark, sf_dir):
+    """Contact/link density (spam + SEO-page signal): email and URL
+    mention counts via ``regexp_extract_all`` (RE2-safe patterns, no
+    lookahead) plus digit ratio — native regex Columns, no Python.
+    Every 5th doc gets an injected email + product URL."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact sales"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example-corp.com or see https://shop.example/item/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    low = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                low, F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"), 0
+            )
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(low, F.lit(r"https?://[^\s]+"), 0)
+        ).alias("n_urls"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[^0-9]", ""))
+            / F.greatest(F.length("text"), F.lit(1)).cast("double"),
+            4,
+        ).alias("digit_ratio"),
+    )
+
+
+@q(
     "corpus_clean",
     f"""
     WITH corpus AS (
