@@ -88,12 +88,40 @@ def test_engine_snapshot_retention(spark, world):
 def test_compact_snapshot_preserves_data_and_reduces_files(spark, catalog):
     df = spark.range(1000).repartition(16).toDF("x")
     catalog.write_snapshot("t", df, version=1)
-    path = catalog.snapshot_dir("t", 1)
-    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    path_before = catalog.snapshot_dir("t", 1)
+    n_before = len(
+        [f for f in os.listdir(path_before) if f.endswith(".parquet")]
+    )
     assert n_before >= 8
     catalog.compact_snapshot("t", target_partitions=2)
-    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    # compaction commits a NEW generation directory for the same version
+    path_after = catalog.snapshot_dir("t", 1)
+    assert path_after != path_before
+    assert not os.path.exists(path_before)  # old generation GC'd
+    n_after = len([f for f in os.listdir(path_after) if f.endswith(".parquet")])
     assert n_after <= 2
     got = sorted(r.x for r in catalog.read("t").collect())
     assert got == list(range(1000))
     assert catalog.current_version("t") == 1
+
+
+def test_compact_snapshot_crash_safety(spark, catalog):
+    """At every instant the manifest-referenced directory exists; stale
+    leftovers from a crashed compaction are swept on the next entry."""
+    df = spark.range(100).toDF("x")
+    catalog.write_snapshot("t", df, version=1)
+    table_root = os.path.dirname(catalog.snapshot_dir("t", 1))
+    # simulate a prior compaction that crashed BEFORE the manifest
+    # commit (stale staged dir) and legacy '.old' leftovers
+    os.makedirs(os.path.join(table_root, "v1.gen7"), exist_ok=True)
+    os.makedirs(os.path.join(table_root, "v1.old"), exist_ok=True)
+    catalog.compact_snapshot("t", target_partitions=1)
+    entries = set(os.listdir(table_root))
+    assert "v1.gen7" not in entries and "v1.old" not in entries
+    assert os.path.basename(catalog.snapshot_dir("t", 1)) in entries
+    assert sorted(r.x for r in catalog.read("t").collect()) == list(range(100))
+    # second compaction advances the generation and GCs the previous one
+    prev = catalog.snapshot_dir("t", 1)
+    catalog.compact_snapshot("t", target_partitions=1)
+    assert catalog.snapshot_dir("t", 1) != prev and not os.path.exists(prev)
+    assert sorted(r.x for r in catalog.read("t").collect()) == list(range(100))

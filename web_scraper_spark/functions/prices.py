@@ -34,9 +34,11 @@ def is_valid_price_text(c: Column) -> Column:
     """F4 — price-text sanity predicate (mmk_tracker.py:196-203):
     accept a candidate price string only if it starts with a digit and
     does not contain 'NaN' (``re.search(r'^\\d', text) and 'NaN' not in
-    text``). NULL-safe: a NULL text is invalid."""
+    text``). Python 3's ``\\d`` matches any Unicode decimal digit (Nd),
+    so the gate uses ``\\p{Nd}`` — supported identically by the JVM
+    regex engine and by DuckDB's RE2 oracle. NULL-safe: NULL → invalid."""
     return F.coalesce(
-        c.rlike(r"^[0-9]") & ~c.contains("NaN"), F.lit(False)
+        c.rlike(r"^\p{Nd}") & ~c.contains("NaN"), F.lit(False)
     )
 
 

@@ -123,11 +123,13 @@ def enrich_listings(
             F.try_element_at("product", F.lit(1))["id"], F.lit(default_product)
         ).alias("product_id"),
         F.coalesce("full_name", "yacht_name").alias("yacht_fullname"),
-        # the suffix strip applies only to the listing's company string;
-        # the no-match fallback keeps the competitor name verbatim
-        # (mmk_tracker.py:152-153 vs :161)
+        # the strip applies to boat_data.get('company', competitor_name) —
+        # i.e. whenever the boat MATCHED, even if its 'company' key is
+        # absent; only the no-match branch keeps the competitor verbatim
+        # (mmk_tracker.py:152-154 vs :161)
         F.when(
-            F.col("company").isNotNull(), strip_company_suffix(F.col("company"))
+            F.col("boat_id").isNotNull(),
+            strip_company_suffix(F.coalesce(F.col("company"), F.col("competitor"))),
         )
         .otherwise(F.col("competitor"))
         .alias("company_name"),

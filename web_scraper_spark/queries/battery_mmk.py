@@ -190,6 +190,7 @@ def q_listing_enrich(spark, sf_dir):
       SELECT l_orderkey, l_linenumber,
              CASE WHEN l_linenumber % 5 = 0 THEN 'NaN € (NaN € - 0%)'
                   WHEN l_linenumber % 6 = 0 THEN 'From 1,234 €'
+                  WHEN l_linenumber % 7 = 0 THEN '５00 € (550 € - 2%)'
                   ELSE ((floor(l_extendedprice * 100 + 0.5)::BIGINT // 100)::VARCHAR || ' € (' ||
                         (floor(l_extendedprice * 110 + 0.5)::BIGINT // 100)::VARCHAR || ' € - ' ||
                         (l_linenumber % 30)::VARCHAR || '%)')
@@ -197,8 +198,8 @@ def q_listing_enrich(spark, sf_dir):
       FROM lineitem WHERE l_orderkey <= 2000
     )
     SELECT l_orderkey, l_linenumber,
-           (regexp_matches(price_text, '^[0-9]') AND NOT contains(price_text, 'NaN')) AS valid,
-           CASE WHEN regexp_matches(price_text, '^[0-9]') AND NOT contains(price_text, 'NaN')
+           (regexp_matches(price_text, '^\\p{Nd}') AND NOT contains(price_text, 'NaN')) AS valid,
+           CASE WHEN regexp_matches(price_text, '^\\p{Nd}') AND NOT contains(price_text, 'NaN')
                 THEN regexp_extract(price_text, '([0-9,\\.]+)\\s*€', 1)
                 ELSE '' END AS total_str
     FROM s
@@ -220,6 +221,9 @@ def q_price_sanity(spark, sf_dir):
     price_text = (
         F.when(F.col("l_linenumber") % 5 == 0, F.lit("NaN € (NaN € - 0%)"))
         .when(F.col("l_linenumber") % 6 == 0, F.lit("From 1,234 €"))
+        # Unicode digit (fullwidth ５, category Nd): the reference's
+        # Python `re.search(r'^\\d', ...)` accepts it — so must the gate
+        .when(F.col("l_linenumber") % 7 == 0, F.lit("５00 € (550 € - 2%)"))
         .otherwise(
             F.concat(total, F.lit(" € ("), lst, F.lit(" € - "), pct, F.lit("%)"))
         )

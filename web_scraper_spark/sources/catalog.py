@@ -66,7 +66,12 @@ class ParquetSnapshotCatalog:
 
     # ---- snapshot tables (frontier, seen, seeds, robots) ------------------
     def snapshot_dir(self, name: str, version: int) -> str:
-        return os.path.join(self.root, name, f"v{version}")
+        """Resolve a version to its data directory. Compaction rewrites a
+        version into a new generation directory (``v<N>.gen<G>``) and
+        repoints the manifest — so the directory for a version is looked
+        up, never assumed."""
+        dirs = self._read_manifest(name).get("dirs", {})
+        return os.path.join(self.root, name, dirs.get(str(version), f"v{version}"))
 
     def current_version(self, name: str) -> int | None:
         return self._read_manifest(name)["current"]
@@ -126,33 +131,58 @@ class ParquetSnapshotCatalog:
         if not expired:
             return []
         manifest["history"] = [v for v in history if v in keep]
-        self._commit_manifest(name, manifest)
+        dirs = manifest.get("dirs", {})
+        expired_paths = [self.snapshot_dir(name, v) for v in expired]
         for v in expired:
-            shutil.rmtree(self.snapshot_dir(name, v), ignore_errors=True)
+            dirs.pop(str(v), None)
+        self._commit_manifest(name, manifest)
+        for p in expired_paths:
+            shutil.rmtree(p, ignore_errors=True)
         return expired
 
     def compact_snapshot(self, name: str, target_partitions: int) -> None:
         """Rewrite the CURRENT snapshot into ``target_partitions`` files
         (Iceberg's ``rewrite_data_files`` small-file compaction). Many
         rounds of bucketed writes accumulate small files whose per-file
-        open cost dominates scans; compaction rewrites them at the same
-        version (the manifest pointer is unchanged — same data, new
-        layout, atomic via a staged directory swap)."""
+        open cost dominates scans.
+
+        Crash-safe commit protocol (the referenced directory is NEVER
+        absent at any instant): write the rewrite into a fresh generation
+        directory ``v<N>.gen<G>``, atomically commit a manifest whose
+        ``dirs`` map points version N at the new generation, then delete
+        the now-unreferenced old directory. A crash before the manifest
+        commit leaves only an unreferenced staged dir; a crash after it
+        leaves only an unreferenced old dir — both are garbage-collected
+        on the next compaction's entry sweep, and the current snapshot
+        stays readable throughout.
+        """
         v = self.current_version(name)
         if v is None:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
-        path = self.snapshot_dir(name, v)
-        staged = path + ".compact"
+        manifest = self._read_manifest(name)
+        dirs = manifest.setdefault("dirs", {})
+        cur_dir = dirs.get(str(v), f"v{v}")
+        table_root = os.path.join(self.root, name)
+        # entry sweep: drop stale generations / legacy swap leftovers of
+        # THIS version that are not the referenced directory
+        for entry in os.listdir(table_root):
+            stale = entry != cur_dir and (
+                entry == f"v{v}"
+                or entry.startswith((f"v{v}.", f"v{v}-"))
+            )
+            if stale:
+                shutil.rmtree(os.path.join(table_root, entry), ignore_errors=True)
+        gen = int(cur_dir.rsplit(".gen", 1)[1]) + 1 if ".gen" in cur_dir else 1
+        staged_name = f"v{v}.gen{gen}"
         (
             self.read(name, version=v)
             .repartition(target_partitions)
             .write.mode("overwrite")
-            .parquet(staged)
+            .parquet(os.path.join(table_root, staged_name))
         )
-        old = path + ".old"
-        os.replace(path, old)
-        os.replace(staged, path)
-        shutil.rmtree(old, ignore_errors=True)
+        dirs[str(v)] = staged_name
+        self._commit_manifest(name, manifest)
+        shutil.rmtree(os.path.join(table_root, cur_dir), ignore_errors=True)
 
     # ---- append tables (fetch_log, extractions, metrics) ------------------
     def append_dir(self, name: str) -> str:

@@ -150,15 +150,21 @@ def politeness_gate_stream(
         (host,) = key
         (admitted,) = state.get if state.exists else (0,)
         rows: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["seed_rank", "url"], kind="mergesort")
-            for url in pdf["url"]:
-                if admitted >= host_budget:
-                    break
-                admitted += 1
-                rows.append(
-                    {"host": host, "url": url, "admit_seq": admitted}
-                )
+        # a group's micro-batch may arrive as SEVERAL Arrow chunks —
+        # concatenate before sorting, or an early low-priority chunk
+        # could consume budget ahead of a later high-priority one
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=["seed_rank", "url"])
+        )
+        batch = batch.sort_values(["seed_rank", "url"], kind="mergesort")
+        for url in batch["url"]:
+            if admitted >= host_budget:
+                break
+            admitted += 1
+            rows.append({"host": host, "url": url, "admit_seq": admitted})
         state.update((admitted,))
         yield pd.DataFrame(rows, columns=["host", "url", "admit_seq"])
 
