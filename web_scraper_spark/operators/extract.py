@@ -8,11 +8,21 @@ whole parse stage is ONE vectorized Python stage: Arrow batches of
 No per-row Python UDFs anywhere (input_hint hard requirement) — this is
 the only Python in the data path, and it is Arrow-batched.
 
-Parsing uses the deterministic span-id grammar of the synthetic pages
-(sources/fixtures.render_page, ids mirroring the JSF component ids the
-reference XPaths target). When lxml is importable (it is not in this
-sandbox) the same extraction runs through ``lxml.html`` for real-world
-pages — gated behind an import-try, same output contract.
+Two parse modes, one output contract:
+
+- ``parser="grammar"`` (default): the deterministic span-id grammar of
+  the synthetic fixture pages (sources/fixtures.render_page, ids
+  mirroring the JSF component ids the reference XPaths target) — three
+  compiled-regex passes, byte-identical to the oracle crawler.
+- ``parser="html"``: the general real-world path
+  (operators/html_parse.py) — stdlib ``html.parser`` tag-soup extractor,
+  or the same tree walk through ``lxml.html`` when lxml is importable.
+  Handles malformed nesting, attribute order/quoting, entities,
+  comments, CDATA, script/style. On every fixture page its output is
+  byte-identical to the grammar path (pinned by tests); on adversarial
+  HTML it is pinned by the hand-written spec fixtures in
+  ``sources/adversarial_html.py`` and the ``extract_adversarial``
+  battery entry.
 
 Parity invariant: ``text`` is byte-identical to the reference
 extractor's output per url (the golden ``pages.text`` column).
@@ -32,11 +42,6 @@ from pyspark.sql.types import (
 )
 
 from ..sources.fixtures import FIELDS
-
-try:  # pragma: no cover - not present in this sandbox
-    import lxml.html as _lxml_html
-except ImportError:
-    _lxml_html = None
 
 __all__ = ["extract_pages", "EXTRACT_FIELDS_SCHEMA", "ERROR_MARKER"]
 
@@ -66,11 +71,19 @@ def _out_schema(input_schema: StructType, html_col: str) -> StructType:
     )
 
 
-def extract_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_pages(
+    pages: DataFrame, html_col: str = "html", parser: str = "grammar"
+) -> DataFrame:
     """html binary → (details struct, text, outlinks). Drops ``html``
     on output so the wide binary column never flows further downstream
     (column pruning by construction); input columns named like the
-    outputs (e.g. a golden ``text``) are replaced by extraction output."""
+    outputs (e.g. a golden ``text``) are replaced by extraction output.
+
+    ``parser``: "grammar" (synthetic span-id fast path) or "html"
+    (general tag-soup path — lxml when importable, stdlib otherwise).
+    """
+    if parser not in ("grammar", "html"):
+        raise ValueError(f"unknown parser {parser!r}")
     out_schema = _out_schema(pages.schema, html_col)
     keep_cols = [
         f.name
@@ -78,11 +91,21 @@ def extract_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
         if f.name != html_col and f.name not in _OUTPUT_COLS
     ]
 
-    # bind the module-level regexes once per worker; fields, full-page
-    # text and outlinks each get one compiled-regex pass
-    from ..sources.fixtures import _HREF_RE, _SPAN_RE, _TAG_RE, _WS_RE
+    # bind the parse callables once per worker; the grammar path is
+    # three compiled-regex passes, the html path one tag-soup parse
+    if parser == "grammar":
+        from ..sources.fixtures import _HREF_RE, _SPAN_RE, _TAG_RE, _WS_RE
 
-    field_order = FIELDS
+        field_order = FIELDS
+
+        def parse_one(html: str):
+            found = {k: v.strip() for k, v in _SPAN_RE.findall(html)}
+            fields = {k: found.get(k) for k in field_order}
+            text = _WS_RE.sub(" ", _TAG_RE.sub(" ", html)).strip()
+            return fields, text, _HREF_RE.findall(html)
+
+    else:
+        from .html_parse import parse_html as parse_one
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,12 +125,10 @@ def extract_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
                     texts.append(None)
                     outlinks.append([])
                     continue
-                found = {k: v.strip() for k, v in _SPAN_RE.findall(html)}
-                fields = {k: found.get(k) for k in field_order}
+                fields, text, links = parse_one(html)
                 details.append(fields)
-                # full-page visible text (Common-Crawl `text` semantics)
-                texts.append(_WS_RE.sub(" ", _TAG_RE.sub(" ", html)).strip())
-                outlinks.append(_HREF_RE.findall(html))
+                texts.append(text)
+                outlinks.append(links)
             out = pdf[keep_cols]
             out = out.assign(details=details, text=texts, outlinks=outlinks)
             yield out

@@ -633,3 +633,61 @@ def q_frontier_merge(spark, sf_dir):
         .groupBy("state")
         .agg(F.count("*").alias("n"))
     )
+
+
+# -------------------------------------------------------------------------
+# P1-general — adversarial real-world-HTML extraction
+# -------------------------------------------------------------------------
+
+def _adversarial_oracle_sql() -> str:
+    from ..sources.adversarial_html import oracle_case_sql
+
+    return f"""
+    SELECT event_id AS doc,
+           {oracle_case_sql('text')} AS text,
+           {oracle_case_sql('yacht_name')} AS yacht_name,
+           CAST({oracle_case_sql('n_outlinks')} AS INT) AS n_outlinks
+    FROM events WHERE event_id < 1200
+    """
+
+
+@q("extract_adversarial", _adversarial_oracle_sql())
+def q_extract_adversarial(spark, sf_dir):
+    """P1 general path — the tag-soup extractor (operators/html_parse.py)
+    over hostile HTML the synthetic grammar never renders: malformed
+    nesting, entities, comments-with-markup, script/style brackets,
+    attribute reorder/quoting, duplicate ids, CDATA, noscript/template.
+
+    Pages are assembled NATIVELY (a when-chain of concat over the
+    hand-written templates in sources/adversarial_html.py, ``{ID}`` →
+    event_id), so the only Python stage is the Arrow-batched extractor
+    under test; the oracle recomputes text/field/link expectations from
+    the same hand-written spec strings, independent of the engine path.
+    Parity target: the reference's lxml extraction tolerates all of
+    these shapes (nausys_tracker.py:268-296)."""
+    from ..operators.extract import extract_pages
+    from ..sources.adversarial_html import N_CASES, SPEC
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.col("event_id") < 1200)
+    )
+    id_str = F.col("event_id").cast("string")
+    case_idx = (F.col("event_id") % N_CASES).cast("int")
+    html = F.lit(None).cast("string")
+    for i, (_, tpl, _, _, _) in enumerate(SPEC):
+        pieces = tpl.split("{ID}")
+        args: list = [F.lit(pieces[0])]
+        for p in pieces[1:]:
+            args.append(id_str)
+            args.append(F.lit(p))
+        html = F.when(case_idx == F.lit(i), F.concat(*args)).otherwise(html)
+    pages = ev.select("event_id", F.encode(html, "utf-8").alias("html"))
+    out = extract_pages(pages, parser="html")
+    return out.select(
+        F.col("event_id").alias("doc"),
+        "text",
+        F.col("details.yacht_name").alias("yacht_name"),
+        F.size("outlinks").alias("n_outlinks"),
+    )
