@@ -278,3 +278,81 @@ def test_multimodal_strict_stub_raises(spark):
     with pytest.raises(Exception) as ei:
         decode_features(df, "data", "doc_id", strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_band_buckets_bit_parity_with_hyperplane(spark):
+    """The Arrow multi-band bucket stage must agree with the JVM
+    ``hyperplane_bucket`` fold on EVERY (vector, band) — the numpy
+    kernel accumulates in the same ascending-dim order, so the claim
+    is exact equality, not approximate."""
+    import os
+
+    from web_scraper_spark.operators.similarity import (
+        _as_double,
+        band_buckets,
+        hyperplane_bucket,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    e = spark.read.parquet(path).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    n_bands, ppb = 4, 5
+    new = band_buckets(e, "v", 64, n_bands, ppb)
+    old = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        hyperplane_bucket(
+                            F.col("v"), 64, ppb, plane_offset=b * ppb
+                        ).cast("int").alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_topk_exclude_self_contract(spark):
+    """Query ids from an INDEPENDENT namespace: with the default
+    exclude_self=True a colliding id silently drops a legitimate
+    neighbor; exclude_self=False must keep it. Pinned for all three
+    top-k ops."""
+    vecs = [(i, [1.0, 0.0, 0.0, float(i)]) for i in range(10)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # query id 3 collides with corpus vec_id 3 but is NOT that vector
+    q = spark.createDataFrame(
+        [(3, [1.0, 0.0, 0.0, 3.0])], "query_id long, q_embedding array<float>"
+    )
+
+    got_excl = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    got_all = {
+        r.vec_id for r in cosine_topk(emb, q, k=10, exclude_self=False).collect()
+    }
+    assert 3 not in got_excl
+    assert 3 in got_all
+    assert got_all - got_excl == {3}
+
+    got_lsh = {
+        r.vec_id
+        for r in lsh_bucket_topk(
+            emb, q, dim=4, k=10, n_planes=2, exclude_self=False
+        ).collect()
+    }
+    assert 3 in got_lsh
+
+    got_ivf = {
+        r.vec_id
+        for r in ivf_topk(
+            emb, q, n_cells=2, n_probe=2, k=10, exclude_self=False
+        ).collect()
+    }
+    assert 3 in got_ivf

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -28,7 +30,9 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "plane_sign",
+    "plane_matrix",
     "hyperplane_bucket",
+    "band_buckets",
     "lsh_bucket_topk",
     "embedding_neardup",
     "ivf_topk",
@@ -59,12 +63,21 @@ def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     ``queries``: (query_id, q_embedding). Broadcast (small) against the
     full embeddings scan; rank by (rounded cosine desc, vec_id) for
-    determinism. Excludes self-matches on id equality.
+    determinism.
+
+    ``exclude_self`` drops rows where ``vec_id == query_id`` — correct
+    ONLY when query ids live in the corpus id namespace (queries drawn
+    from the corpus, the default here and in the battery). When query
+    ids come from an independent namespace, a collision would silently
+    drop a legitimate neighbor: pass ``exclude_self=False``
+    (tests/test_dedup_similarity pins both behaviors on a disjoint-id
+    fixture).
     """
     q = queries.select(
         "query_id", _as_double(F.col("q_embedding")).alias("qv")
@@ -72,7 +85,7 @@ def cosine_topk(
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("ev"))
     scored = (
         e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(~F.lit(exclude_self) | (F.col("vec_id") != F.col("query_id")))
         .select(
             "query_id",
             "vec_id",
@@ -126,6 +139,84 @@ def hyperplane_bucket(
     return bucket
 
 
+def plane_matrix(
+    n_bands: int, planes_per_band: int, dim: int
+) -> list[list[list[float]]]:
+    """The md5-parity hyperplane weights as data, shaped
+    ``[band][plane][dim]`` — band ``b`` holds planes
+    ``b*planes_per_band … +planes_per_band-1`` of the shared namespace,
+    exactly the planes ``hyperplane_bucket(plane_offset=b*ppb)`` uses."""
+    return [
+        [
+            [float(plane_sign(b * planes_per_band + p, d)) for d in range(dim)]
+            for p in range(planes_per_band)
+        ]
+        for b in range(n_bands)
+    ]
+
+
+def band_buckets(
+    vectors: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bands: int,
+    planes_per_band: int,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """All (band, bucket) assignments per vector in ONE Arrow-batched
+    vectorized stage — the multi-band replacement for per-band
+    ``hyperplane_bucket`` calls.
+
+    ``hyperplane_bucket`` inlines n_planes × dim literal weights into
+    nested higher-order functions; HOFs are not whole-stage-codegen
+    supported, so at multi-band settings (12×3×64 ≈ 2,300 terms/row) the
+    interpreted evaluator pays ~µs per element-op — measured 7.4 s for
+    2,000 vectors. Here the whole plane bank is one numpy matrix and the
+    stage is a vectorized ``pandas_udf`` (array<double> in, array<int>
+    of ``n_bands`` buckets out): ~ms for the same input, and the Arrow
+    transfer is the narrow (id, vector) projection only.
+
+    Bit-identical to the JVM fold by construction, not by luck: the
+    projection accumulates ``acc += v[d] * w[d]`` in ascending dim
+    order — element-wise IEEE-754 double ops in exactly the left-fold
+    order of ``hyperplane_bucket`` and of the SQL twin's
+    ``v[1]*s1 + v[2]*s2 + …`` — so every intermediate rounding matches
+    and the sign test agrees everywhere (pinned by
+    tests/test_dedup_similarity equality test vs ``hyperplane_bucket``).
+
+    Output: input columns minus ``vec_col`` (kept when ``keep_vec``),
+    plus (band int, bucket int) — ``n_bands`` rows per vector.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    # [dim][total_planes] weight matrix, plane-major in the shared
+    # md5-parity namespace (band b = planes b*ppb .. b*ppb+ppb-1)
+    total = n_bands * planes_per_band
+    W = np.array(
+        [[float(plane_sign(p, d)) for p in range(total)] for d in range(dim)],
+        dtype=np.float64,
+    )
+    pow2 = np.array([1 << p for p in range(planes_per_band)], dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        acc = np.zeros((X.shape[0], total), dtype=np.float64)
+        for d in range(dim):  # ascending-dim accumulation == JVM fold
+            acc += X[:, d : d + 1] * W[d]
+        signs = (acc > 0).reshape(-1, n_bands, planes_per_band)
+        buckets = (signs * pow2).sum(axis=2)  # (n, n_bands)
+        return pd.Series(buckets.astype(np.int32).tolist())
+
+    keep = [c for c in vectors.columns if c != vec_col]
+    if keep_vec:
+        keep.append(vec_col)
+    return (
+        vectors.select(*keep, _buckets(F.col(vec_col)).alias("_bk"))
+        .select(*keep, F.posexplode("_bk").alias("band", "bucket"))
+    )
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     dim: int,
@@ -141,60 +232,76 @@ def embedding_neardup(
     ``b*planes_per_band … +planes_per_band-1`` from the shared md5-parity
     namespace). Plan shape:
 
-    1. explode each vector to ``n_bands`` (band, bucket) rows,
-    2. self-equi-join on (band, bucket) with ``vec_a < vec_b``,
-       ``distinct`` to dedup pairs found by several bands — ids only,
-       vectors do not ride through the band join,
-    3. re-join both sides' vectors by id (co-partitioned equi-joins),
-       cosine filter at ``threshold``.
+    1. one Arrow stage assigns each vector its ``n_bands``
+       (band, bucket) rows (``band_buckets``, vectors riding),
+    2. ONE shuffle groups by (band, bucket); inside each group a
+       vectorized gram computation scores every in-bucket pair and
+       emits only pairs at/above threshold — never an all-pairs join,
+       and no ids-only candidate materialization + vector re-join,
+    3. ``distinct`` dedups pairs found by several bands (identical
+       doubles — the score is deterministic).
+
+    Scoring parity: the group kernel accumulates ``gram += outer(x_d,
+    x_d)`` and ``norm² += x_d²`` in ascending dim order — element-wise
+    IEEE-754 double ops in exactly the left-fold order of ``cosine()``
+    and the SQL twin — so every cosine is bit-identical to the JVM
+    expression and the in-kernel prefilter uses a half-ulp margin with
+    the EXACT rounded filter applied Spark-side (same ``F.round``).
 
     Output: (vec_a, vec_b, cos_sim rounded to 4). Recall < 1 vs the
     exact all-pairs join by construction; the bound is pinned by a
     recall test against the exact pairs in tests/test_dedup_similarity
     (defaults measure 0.98 on the fixture embeddings at τ=0.35).
-    Tuning: more planes/band → smaller buckets (less candidate volume,
-    what you raise at corpus scale); more bands → higher recall.
+    Tuning: more planes/band → smaller buckets (less per-group m² work,
+    what you raise at corpus scale — group memory is O(m·dim + m²));
+    more bands → higher recall.
     """
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    bands = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        hyperplane_bucket(
-                            F.col("v"),
-                            dim,
-                            planes_per_band,
-                            plane_offset=b * planes_per_band,
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket")
-    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    bands = band_buckets(
+        embeddings.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        ),
+        "v",
+        dim,
+        n_bands,
+        planes_per_band,
+        keep_vec=True,
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    margin = threshold - 5e-5  # superset of the rounded >= threshold set
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "raw_cos": []})
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        gram = np.zeros((m, m), dtype=np.float64)
+        nsq = np.zeros(m, dtype=np.float64)
+        for d in range(dim):  # ascending-dim accumulation == JVM fold
+            col = X[:, d]
+            gram += np.outer(col, col)
+            nsq += col * col
+        nrm = np.sqrt(nsq)
+        cos = gram / np.maximum(np.outer(nrm, nrm), 1e-12)
+        ia, ib = np.triu_indices(m, 1)  # ids ascending -> vec_a < vec_b
+        keep = cos[ia, ib] >= margin
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "raw_cos": cos[ia[keep], ib[keep]],
+            }
+        )
+
+    pairs = bands.groupBy("band", "bucket").applyInPandas(
+        score_bucket, "vec_a bigint, vec_b bigint, raw_cos double"
+    )
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        pairs.select(
+            "vec_a", "vec_b", F.round("raw_cos", 4).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", "cos_sim")
+        .distinct()
     )
 
 
@@ -204,6 +311,7 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``n_cells`` Voronoi cells, probe only the ``n_probe`` closest cells
@@ -277,7 +385,7 @@ def ivf_topk(
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(~F.lit(exclude_self) | (F.col("vec_id") != F.col("query_id")))
         .select(
             "query_id",
             "vec_id",
@@ -300,12 +408,15 @@ def lsh_bucket_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: exact ranking within the query's LSH bucket.
 
     Same output shape as ``cosine_topk``; recall < 1 by design. The
     candidate join is an equi-join on bucket — co-partitioned, no cross
-    join of the full corpus.
+    join of the full corpus. ``exclude_self``: same shared-id contract
+    as ``cosine_topk`` — set False when query ids are an independent
+    namespace.
     """
     e = embeddings.select(
         "vec_id",
@@ -319,7 +430,7 @@ def lsh_bucket_topk(
     )
     scored = (
         e.join(F.broadcast(q), "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(~F.lit(exclude_self) | (F.col("vec_id") != F.col("query_id")))
         .select(
             "query_id",
             "vec_id",
