@@ -356,3 +356,51 @@ def test_topk_exclude_self_contract(spark):
         ).collect()
     }
     assert 3 in got_ivf
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark):
+    """Data-adapted IVF placement: on clustered embeddings whose first
+    ``n_cells`` rows are a correlated draw from ONE cluster (the
+    realistic corpus-prefix failure mode for seed-vector centroids),
+    ``kmeans_centroids`` spreads the cells to the true clusters and
+    recall@5 rises from ~0.74 to 1.0. Fully deterministic: fixed rng
+    seed, and the Lloyd's update rounds components so shuffle-order
+    jitter cannot flip an assignment."""
+    import numpy as np
+
+    from web_scraper_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 8, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in [0] * 8 + [i % n_clusters for i in range(per * n_clusters)]:
+        v = centers[c] + 0.15 * rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id >= 20 and vec_id < 30").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+    seed = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, n_cells=8, n_probe=2, k=5).collect()
+    }
+    cents = kmeans_centroids(emb, n_cells=8, n_iter=5)
+    km = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            emb, q, n_cells=8, n_probe=2, k=5, centroids=cents
+        ).collect()
+    }
+    seed_recall = len(seed & exact) / len(exact)
+    km_recall = len(km & exact) / len(exact)
+    assert km_recall > seed_recall
+    assert km_recall >= 0.95, f"kmeans recall {km_recall:.2f}"
+    # centroid table has the contract shape ivf_topk consumes
+    assert cents.columns == ["cell_id", "cv"]
+    assert cents.count() == 8

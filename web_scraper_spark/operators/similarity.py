@@ -35,6 +35,7 @@ __all__ = [
     "band_buckets",
     "lsh_bucket_topk",
     "embedding_neardup",
+    "kmeans_centroids",
     "ivf_topk",
 ]
 
@@ -305,6 +306,78 @@ def embedding_neardup(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Offline Lloyd's k-means producing the IVF centroid table
+    (cell_id, cv array<double>) — the data-adapted replacement for
+    ``ivf_topk``'s seed-vector default.
+
+    Spherical variant (assignment by max cosine, matching the probe
+    metric). Per iteration, two distributed steps and zero
+    corpus-sized driver traffic:
+
+    - assign: one vectorized Arrow stage (numpy ``X @ C.T`` argmax —
+      the centroid bank is a closure constant, n_cells × dim doubles);
+    - update: ``posexplode`` + ``groupBy(cell, pos).avg`` — map-side
+      partial aggregation, then only n_cells × dim mean rows reach the
+      driver to refresh the bank.
+
+    Components round to 9 decimals each iteration so shuffle-order
+    float jitter in ``avg`` cannot leak into assignments (cosine gaps
+    are ≫ 1e-9); empty cells keep their previous centroid. At corpus
+    scale run this on a sample — centroid placement needs no full
+    scan, and the output table is what ``ivf_topk(centroids=...)``
+    consumes.
+    """
+    from pyspark.sql.types import IntegerType
+
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    init = (
+        e.orderBy("vec_id").limit(n_cells).select("v").collect()
+    )
+    C = np.array([r["v"] for r in init], dtype=np.float64)
+
+    for _ in range(n_iter):
+        Cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+        )
+
+        @F.pandas_udf(IntegerType())
+        def _assign(vecs: pd.Series) -> pd.Series:
+            X = np.array(vecs.tolist(), dtype=np.float64)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            )
+            return pd.Series((Xn @ Cn.T).argmax(axis=1).astype(np.int32))
+
+        means = (
+            e.select(_assign("v").alias("cell"), F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("col"), 9).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        for r in means:
+            C[r["cell"]] = r["cv"]
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(n_cells)],
+        "cell_id bigint, cv array<double>",
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -312,16 +385,18 @@ def ivf_topk(
     n_probe: int = 2,
     k: int = 5,
     exclude_self: bool = True,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``n_cells`` Voronoi cells, probe only the ``n_probe`` closest cells
     per query, rank exactly within the probed cells.
 
     The second ANN scale path next to ``lsh_bucket_topk`` (IVF trades
-    LSH's oblivious hashing for data-adapted cells). Centroids here are
-    deterministic seed vectors (``vec_id < n_cells``) — real IVF runs an
-    offline k-means to place them, which only changes the centroid
-    table, not this plan. Plan shape, sized for a 10^10-vector corpus:
+    LSH's oblivious hashing for data-adapted cells). Centroids default to
+    deterministic seed vectors (``vec_id < n_cells``, the
+    oracle-parity path); pass ``centroids=kmeans_centroids(...)`` for
+    data-adapted placement — only the centroid table changes, not this
+    plan (recall gain pinned in tests/test_dedup_similarity). Plan shape, sized for a 10^10-vector corpus:
 
     - the centroid table is collected into ONE array row and broadcast;
       cell assignment is a per-row fold over that array (argmax cosine)
@@ -339,9 +414,12 @@ def ivf_topk(
     pinned by a recall test vs the exact baseline.
     """
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("ev"))
-    cents = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("ev").alias("cv")
-    )
+    if centroids is not None:
+        cents = centroids.select("cell_id", F.col("cv").alias("cv"))
+    else:
+        cents = e.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"), F.col("ev").alias("cv")
+        )
     cent_arr = cents.agg(
         F.sort_array(F.collect_list(F.struct("cell_id", "cv"))).alias("cells")
     )

@@ -842,6 +842,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, n_cells=8, n_probe=2, k=5)
 
 
+@q("ann_ivf_kmeans_topk", None)  # iterative k-means: no SQL oracle
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with offline Lloyd's k-means centroid placement
+    (``kmeans_centroids``) instead of seed vectors — the full two-stage
+    IVF pipeline. The training loop is genuinely iterative (N rounds of
+    assign + mean), so there is no single-query SQL twin; the driver
+    records the rows-only check. Determinism: spherical assignment +
+    per-iteration component rounding; the recall gain over seed
+    centroids is pinned in tests/test_dedup_similarity on a clustered
+    fixture."""
+    from ..operators.similarity import kmeans_centroids
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cents = kmeans_centroids(emb, n_cells=8, n_iter=3)
+    return ivf_topk(emb, queries, n_cells=8, n_probe=2, k=5, centroids=cents)
+
+
 # -------------------------------------------------------------------------
 # streaming-equivalent windowed aggregation + TPC-H-class joins
 # -------------------------------------------------------------------------
