@@ -22,8 +22,10 @@ At 10^10-frontier scale the snapshot write is partitioned by
 rewrites few files (storage-partitioned-join-friendly layout), and the
 seen/frontier anti-join can be co-partitioned on the same key.
 
-If an Iceberg runtime is on the classpath, ``IcebergCatalog`` (same
-interface) maps these operations onto real Iceberg tables.
+If an Iceberg runtime is on the classpath,
+``sources/iceberg_catalog.IcebergCatalog`` (same interface) maps these
+operations onto real Iceberg tables — ``make_catalog`` picks it up
+automatically when ``spark.sql.catalog.<name>`` is configured.
 """
 
 from __future__ import annotations
@@ -240,8 +242,16 @@ class ParquetSnapshotCatalog:
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
 
-def make_catalog(spark: SparkSession, root: str) -> ParquetSnapshotCatalog:
-    """Factory — returns an Iceberg-backed catalog when the runtime jar is
-    available (``spark.sql.catalog.*`` configured), else the parquet
-    snapshot catalog. Only the latter exists in this sandbox."""
+def make_catalog(
+    spark: SparkSession, root: str, iceberg_catalog: str = "crawl"
+) -> ParquetSnapshotCatalog:
+    """Factory — returns the Iceberg-backed catalog when a Spark catalog
+    named ``iceberg_catalog`` is configured (runtime jar +
+    ``spark.sql.catalog.<name>``), else the parquet snapshot catalog
+    (the only one testable in this jar-less sandbox)."""
+    from .iceberg_catalog import IcebergCatalog
+
+    ice = IcebergCatalog(spark, catalog=iceberg_catalog)
+    if ice.available():
+        return ice  # type: ignore[return-value]  # same duck-typed surface
     return ParquetSnapshotCatalog(spark, root)
