@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -88,6 +89,13 @@ class CrawlEngine:
     # exactly spec.global_budget rows, so the budget is a sound size
     # estimate known at plan time. Env override for benches.
     fetch_join: str = os.environ.get("WSS_FETCH_JOIN", "auto")
+    # live-fetch mode: a client factory (one construction per Python
+    # worker, P12) switches the round's fetch stage from the pages-table
+    # lookup join to the Arrow-batched HTTP stage — same politeness-
+    # bounded input, same outcome split/extraction/frontier transitions
+    # downstream (parity pinned by tests/test_live_round.py). None =
+    # offline lookup mode (the only network-free mode in this sandbox).
+    client_factory: Callable[[], object] | None = None
     # keep this many frontier/seen_bloom snapshot versions (None = all).
     # Every round is a copy-on-write snapshot; an unbounded daily crawl
     # retains its full history forever without this. Resume only ever
@@ -282,6 +290,58 @@ class CrawlEngine:
         self.catalog.write_snapshot("seen_bloom", merged, version=round_id)
 
     # ------------------------------------------------------------------
+    def _fetch_live(
+        self, selected: DataFrame, round_id: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """Live-mode fetch: Arrow HTTP stage (one client per Python
+        worker, P12) + idempotent raw materialization — the WARC-analog
+        store. The raw round partition is written BEFORE any consumer
+        runs, making the at-least-once task-level fetch exactly-once at
+        round level: re-runs of a committed round never refetch, and
+        every downstream consumer (outcome split, extraction, fetch
+        log) reads the WRITTEN bytes with column pruning — wide bodies
+        are never cached and never refetched.
+
+        F3 status map, mirroring the lookup path's page_status split:
+        HTTP 200 → success, any other HTTP status → empty (fetched, no
+        usable content — nausys_tracker.py:299's non-200 branch),
+        status ≤ 0/null (network failure) → timeout. Round parity with
+        the lookup join is pinned by tests/test_live_round.py.
+        """
+        from ..sources.http_fetch import http_fetch_stage
+
+        raw = http_fetch_stage(selected, self.client_factory, keep_cols=True)
+        raw_rows = raw.select(
+            F.lit(round_id).alias("round_id"),
+            *selected.columns,
+            "status",
+            F.encode(F.col("body"), "utf-8").alias("html"),
+            "worker_pid",
+            "client_seq",
+        )
+        self.catalog.write_round_partition("fetch_raw", raw_rows)
+        back = self.catalog.read_log("fetch_raw").filter(
+            F.col("round_id") == round_id
+        )
+        fetched = (
+            back.drop("html", "worker_pid", "client_seq", "round_id")
+            .withColumn(
+                "outcome",
+                F.when(
+                    F.col("status").isNull() | (F.col("status") <= 0), "timeout"
+                )
+                .when(F.col("status") == 200, "success")
+                .otherwise("empty"),
+            )
+            .drop("status")
+            .cache()
+        )
+        with_html = back.filter(F.col("status") == 200).drop(
+            "status", "worker_pid", "client_seq", "round_id"
+        )
+        return fetched, with_html
+
+    # ------------------------------------------------------------------
     def _seen(self, frontier: DataFrame) -> DataFrame:
         # url rides along as the collision confirm key for the exact
         # anti-join (the bloom build only reads url_hash)
@@ -359,62 +419,73 @@ class CrawlEngine:
             candidate_upper_bound=frontier_rows,
         )
 
-        # fetch = lookup join against the pages table on the 64-bit key,
-        # string-confirmed (hash-collision guard). Two-phase for width:
-        # phase 1 joins a NARROW projection (url identity + page_status,
-        # no html) to classify outcomes; phase 2 re-joins html for the
-        # success rows only — the wide binary column is never read for
-        # timeouts/errors and never shuffles with the outcome split.
-        page_keys = pages_resolved.select(
-            F.col("url_hash").alias("p_hash"),
-            F.col("url_canon").alias("p_url"),
-            "page_status",
-        )
-        fetched = (
-            selected.join(
-                page_keys,
-                (selected.url_hash == page_keys.p_hash)
-                & (selected.url == page_keys.p_url),
-                "left",
+        if self.client_factory is not None:
+            # live mode: Arrow-batched HTTP stage, no join at all
+            fetched, with_html = self._fetch_live(selected, round_id)
+        else:
+            # offline mode: fetch = lookup join against the pages table
+            # on the 64-bit key, string-confirmed (hash-collision
+            # guard). Two-phase for width: phase 1 joins a NARROW
+            # projection (url identity + page_status, no html) to
+            # classify outcomes; phase 2 re-joins html for the success
+            # rows only — the wide binary column is never read for
+            # timeouts/errors and never shuffles with the outcome split.
+            page_keys = pages_resolved.select(
+                F.col("url_hash").alias("p_hash"),
+                F.col("url_canon").alias("p_url"),
+                "page_status",
             )
-            .withColumn(
-                "outcome",
-                F.when(F.col("p_url").isNull(), "timeout")
-                .when(F.col("page_status") == "error", "empty")
-                .otherwise("success"),
+            fetched = (
+                selected.join(
+                    page_keys,
+                    (selected.url_hash == page_keys.p_hash)
+                    & (selected.url == page_keys.p_url),
+                    "left",
+                )
+                .withColumn(
+                    "outcome",
+                    F.when(F.col("p_url").isNull(), "timeout")
+                    .when(F.col("page_status") == "error", "empty")
+                    .otherwise("success"),
+                )
+                .drop("p_hash", "p_url", "page_status")
+                .cache()
             )
-            .drop("p_hash", "p_url", "page_status")
-            .cache()
-        )
+            successes = fetched.filter(F.col("outcome") == "success").drop(
+                "outcome"
+            )
+
+            # Pull html ONLY for success rows.
+            page_html = pages_resolved.select(
+                F.col("url_hash").alias("p2h"),
+                F.col("url_canon").alias("p2u"),
+                "html",
+            )
+            join_cond = (successes.url_hash == page_html.p2h) & (
+                successes.url == page_html.p2u
+            )
+            if self._resolve_fetch_join(frontier, frontier_rows) == "broadcast":
+                # html never shuffles: the selection ships to the pages scan
+                with_html = page_html.join(
+                    F.broadcast(successes), join_cond
+                ).drop("p2h", "p2u")
+            else:
+                # shuffle hash join + salted repartition: html shuffles
+                # once, but no driver-side hash-table build; extraction
+                # runs on the salted layout (hot hosts spread over all
+                # workers)
+                par = self.spark.sparkContext.defaultParallelism
+                with_html = (
+                    successes.join(page_html, join_cond)
+                    .drop("p2h", "p2u")
+                    .repartition(
+                        par,
+                        F.col("host_bucket"),
+                        F.pmod(F.col("url_hash"), F.lit(par)),
+                    )
+                )
         timeouts = fetched.filter(F.col("outcome") == "timeout").drop("outcome")
         empties = fetched.filter(F.col("outcome") == "empty").drop("outcome")
-        successes = fetched.filter(F.col("outcome") == "success").drop("outcome")
-
-        # Pull html ONLY for success rows. (On a live crawl this stage is
-        # an Arrow-batched HTTP fetch, no join at all.)
-        page_html = pages_resolved.select(
-            F.col("url_hash").alias("p2h"), F.col("url_canon").alias("p2u"), "html"
-        )
-        join_cond = (successes.url_hash == page_html.p2h) & (
-            successes.url == page_html.p2u
-        )
-        if self._resolve_fetch_join(frontier, frontier_rows) == "broadcast":
-            # html never shuffles: the selection ships to the pages scan
-            with_html = page_html.join(F.broadcast(successes), join_cond).drop(
-                "p2h", "p2u"
-            )
-        else:
-            # shuffle hash join + salted repartition: html shuffles once,
-            # but no driver-side hash-table build; extraction runs on the
-            # salted layout (hot hosts spread over all workers)
-            par = self.spark.sparkContext.defaultParallelism
-            with_html = (
-                successes.join(page_html, join_cond)
-                .drop("p2h", "p2u")
-                .repartition(
-                    par, F.col("host_bucket"), F.pmod(F.col("url_hash"), F.lit(par))
-                )
-            )
 
         # P1 extraction — the only Python stage, Arrow-batched. Per-host
         # volume is already bounded upstream by the politeness budget,

@@ -85,6 +85,7 @@ def http_fetch_stage(
     df: DataFrame,
     make_client: Callable[[], object],
     url_col: str = "url",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """Arrow-batched fetch: ``client.get(url) -> (status, body)``.
 
@@ -93,21 +94,40 @@ def http_fetch_stage(
     the init-once contract is directly observable: ``client_seq`` is the
     number of constructions this worker had performed when the row was
     fetched — it must be 1 everywhere.
+
+    ``keep_cols=True`` carries every input column through alongside the
+    fetch output (the live-round mode: the politeness-selected frontier
+    row rides with its own fetch result, so the downstream outcome
+    split/extraction needs no re-join). Task retries re-fetch that
+    task's URLs — at-least-once fetch; the caller makes the ROUND
+    exactly-once by materializing this stage's output idempotently
+    (``write_round_partition``) before anything consumes it.
     """
+    fetch_fields = [
+        f for f in FETCH_SCHEMA.fields if keep_cols is False or f.name != "url"
+    ]
+    if keep_cols:
+        in_fields = [f for f in df.schema.fields]
+        schema = StructType(in_fields + fetch_fields)
+        keep = [f.name for f in in_fields]
+    else:
+        schema = StructType(fetch_fields)
+        keep = None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client, n_constructions = _get_client(make_client)
         pid = os.getpid()
         for pdf in batches:
             out = [client.get(u) for u in pdf[url_col]]
-            yield pd.DataFrame(
-                {
-                    "url": list(pdf[url_col]),
-                    "status": [s for s, _ in out],
-                    "body": [b for _, b in out],
-                    "worker_pid": [pid] * len(out),
-                    "client_seq": [n_constructions] * len(out),
-                }
+            base = pdf[keep] if keep is not None else pd.DataFrame(
+                {"url": list(pdf[url_col])}
+            )
+            yield base.assign(
+                status=[s for s, _ in out],
+                body=[b for _, b in out],
+                worker_pid=pid,
+                client_seq=n_constructions,
             )
 
-    return df.select(url_col).mapInPandas(run, schema=FETCH_SCHEMA)
+    src = df if keep_cols else df.select(url_col)
+    return src.mapInPandas(run, schema=schema)
