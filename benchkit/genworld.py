@@ -56,8 +56,16 @@ def generate_bench_world(
     period_end: str = "2025-10-25",
     missing_frac: float = 0.04,
     error_frac: float = 0.03,
+    page_weight: str = "full",
 ) -> dict[str, str]:
-    """Write seeds/robots/pages parquet; returns path dict."""
+    """Write seeds/robots/pages parquet; returns path dict.
+
+    ``page_weight``: "full" renders ~18 KB of filler prose per page
+    (honest extractor bytes — the throughput bench); "light" skips the
+    filler (~1 KB/page) for benches whose question is frontier-state
+    cost, not page-scan cost (the 10^7-frontier steady-state run would
+    otherwise spend its wall on 180 GB of synthetic prose).
+    """
     os.makedirs(out_dir, exist_ok=True)
     paths = {
         "seeds": f"{out_dir}/seeds.parquet",
@@ -153,6 +161,7 @@ def generate_bench_world(
         "Lorem charter fleet availability notes segment %d with berth and "
         "skipper manifest entries recorded for audit trail purposes. "
     )
+    n_filler = 120 if page_weight == "full" else 0
     filler = F.concat_ws(
         "",
         *[
@@ -161,9 +170,9 @@ def generate_bench_world(
                 F.pmod(h + 1000 + i, F.lit(10_000_000)).cast("string"),
                 F.lit("</p>\n"),
             )
-            for i in range(120)
+            for i in range(n_filler)
         ],
-    )
+    ) if n_filler else F.lit("")
     good_html = F.concat(
         F.lit("<html><head><title>Reservation "), F.col("yacht_id"),
         F.lit('</title></head><body>\n<div class="prose">\n'),

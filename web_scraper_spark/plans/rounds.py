@@ -635,17 +635,22 @@ class CrawlEngine:
             .unionByName(discoveries)
         )
 
+        tw = time.monotonic()
         self.catalog.write_snapshot(
             "frontier",
             new_frontier.repartition(self.n_buckets, "host_bucket"),
             version=round_id,
         )
+        frontier_write_s = time.monotonic() - tw
 
         # persist the incremental URL-seen filter for the next round
+        bloom_merge_s = 0.0
         if self.use_bloom:
+            tb = time.monotonic()
             self._write_bloom_snapshot(
                 fetched, seen, bloom, bloom_geom, seen_total_prev, round_id
             )
+            bloom_merge_s = time.monotonic() - tb
 
         # metrics rollup (A6): per-host counts + throughput. All counts
         # derive from the already-written round partitions (small parquet
@@ -688,6 +693,12 @@ class CrawlEngine:
             **counts,
             "seen_total": seen_total_prev + counts["success"] + counts["empty"],
             "wall_seconds": wall_s,
+            # state-maintenance split: per-round cost of the frontier
+            # CoW snapshot and the incremental seen-filter OR-merge —
+            # the two writes that must stay budget-proportional as the
+            # frontier/seen set grows (steady-state bench evidence)
+            "frontier_write_seconds": round(frontier_write_s, 3),
+            "bloom_merge_seconds": round(bloom_merge_s, 3),
             "urls_per_sec": counts["selected"] / wall_s if wall_s > 0 else 0.0,
             "frontier_version": round_id,
         }

@@ -60,13 +60,17 @@ FETCH_SCHEMA = StructType(
 )
 
 # per-worker-process client cache: survives across tasks/batches while
-# the Python worker is reused (spark.python.worker.reuse, default on)
-_CLIENT = None
-_CONSTRUCTIONS = 0
+# the Python worker is reused (spark.python.worker.reuse, default on).
+# Keyed by client identity — Spark reuses ONE Python worker pool for
+# every stage in the session, so an unkeyed singleton would hand stage B
+# the client stage A constructed (observed: a test-suite mock leaking
+# into the live-round fetch through reused workers).
+_CLIENTS: dict[str, object] = {}
+_CONSTRUCTIONS: dict[str, int] = {}
 
 
-def _get_client(factory: Callable[[], object]) -> tuple:
-    """(client, constructions-so-far) for this worker process.
+def _get_client(factory: Callable[[], object], key: str) -> tuple:
+    """(client, constructions-so-far) for this worker process and key.
 
     Runs as a by-reference module function on the worker, so it mutates
     the live module globals — unlike the mapInPandas closure itself,
@@ -74,11 +78,10 @@ def _get_client(factory: Callable[[], object]) -> tuple:
     bare global read from the closure would always see the pickle-time
     value).
     """
-    global _CLIENT, _CONSTRUCTIONS
-    if _CLIENT is None:
-        _CLIENT = factory()
-        _CONSTRUCTIONS += 1
-    return _CLIENT, _CONSTRUCTIONS
+    if key not in _CLIENTS:
+        _CLIENTS[key] = factory()
+        _CONSTRUCTIONS[key] = _CONSTRUCTIONS.get(key, 0) + 1
+    return _CLIENTS[key], _CONSTRUCTIONS[key]
 
 
 def http_fetch_stage(
@@ -86,6 +89,7 @@ def http_fetch_stage(
     make_client: Callable[[], object],
     url_col: str = "url",
     keep_cols: bool = False,
+    client_key: str | None = None,
 ) -> DataFrame:
     """Arrow-batched fetch: ``client.get(url) -> (status, body)``.
 
@@ -94,6 +98,11 @@ def http_fetch_stage(
     the init-once contract is directly observable: ``client_seq`` is the
     number of constructions this worker had performed when the row was
     fetched — it must be 1 everywhere.
+
+    ``client_key`` names the per-worker client slot (default: the
+    factory's module-qualified name) — two stages wanting DIFFERENT
+    clients must use distinct factory functions or pass distinct keys;
+    two stages sharing a factory share its per-worker client.
 
     ``keep_cols=True`` carries every input column through alongside the
     fetch output (the live-round mode: the politeness-selected frontier
@@ -114,8 +123,13 @@ def http_fetch_stage(
         schema = StructType(fetch_fields)
         keep = None
 
+    key = client_key or (
+        f"{getattr(make_client, '__module__', '?')}."
+        f"{getattr(make_client, '__qualname__', repr(make_client))}"
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        client, n_constructions = _get_client(make_client)
+        client, n_constructions = _get_client(make_client, key)
         pid = os.getpid()
         for pdf in batches:
             out = [client.get(u) for u in pdf[url_col]]
