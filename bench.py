@@ -78,6 +78,30 @@ def build_bench_world(spark, n_hosts: int, yachts_each: int, cache_dir: str) -> 
     return out
 
 
+def warm_up(spark) -> None:
+    """Session warm-up before anything is timed: JVM JIT, Python-worker
+    spawn, codegen, and the parquet write path. Without this the FIRST
+    timed section (crawl_init_frontier) absorbs session boot — measured
+    8.3 s cold vs 1.7-2.0 s warm for the identical job, which round 2
+    misread as a +36 % regression."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100_000).select(
+        "id", F.col("id").cast("string").alias("s")
+    )
+    df.repartition(8, "id").groupBy((F.col("id") % 7).alias("k")).count().count()
+
+    def _noop(it):
+        yield from it
+
+    df.limit(1000).mapInPandas(_noop, df.schema).count()
+    d = tempfile.mkdtemp(prefix="wss_warm_")
+    try:
+        spark.range(1000).write.mode("overwrite").parquet(d + "/warm")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def run_crawl_round(spark, world_dir: str) -> dict:
     from web_scraper_spark.plans.rounds import CrawlEngine
     from web_scraper_spark.sources.catalog import ParquetSnapshotCatalog
@@ -138,6 +162,7 @@ def main() -> int:
     total0 = time.monotonic()
 
     world_dir = build_bench_world(spark, n_hosts, yachts, cache)
+    warm_up(spark)
     crawl = run_crawl_round(spark, world_dir)
     timings["crawl_round"] = crawl["round_sec"]
     timings["crawl_init_frontier"] = crawl["init_sec"]
