@@ -23,6 +23,11 @@ __all__ = [
     "ngram_dup_fraction",
     "line_noise_features",
     "fingerprint",
+    "pii_counts",
+    "scrub_pii",
+    "PII_EMAIL_RE",
+    "PII_IPV4_RE",
+    "PII_PHONE_RE",
     "EN_STOPWORDS",
     "TR_STOPWORDS",
 ]
@@ -163,6 +168,37 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.1) * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
     )
     return F.round(score, 4)
+
+
+# PII patterns for training-data scrubbing. Deliberately RE2-compatible
+# (no lookaround, no backreferences) so the DuckDB oracle runs the SAME
+# pattern text: \b is the ASCII word boundary in both engines, \d / {m,n}
+# quantifiers and character classes agree, and greedy semantics match.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{5,9}\b"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (emails, IPv4 addresses, intl-format
+    phone numbers) — ``regexp_extract_all`` sizes, no Python."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)),
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace PII spans with typed placeholder tokens. Order matters
+    and is part of the contract: emails first (so the host part of an
+    address can no longer feed the IP pattern), then phones (the ``+``
+    prefix keeps them disjoint from IPs), then IPv4. Placeholders
+    contain no digits, so later passes never re-match earlier
+    replacements."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
 
 
 def fingerprint(text: Column) -> Column:

@@ -30,7 +30,16 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
+from ..functions.textstats import (
+    PII_EMAIL_RE as _PII_EMAIL,
+    PII_IPV4_RE as _PII_IPV4,
+    PII_PHONE_RE as _PII_PHONE,
+    pii_counts,
+    scrub_pii,
+)
+from ..operators.linededup import strip_boilerplate
 from ..operators.multimodal import binary_meta, decode_features, frame_sample
+from ..operators.sitemap import parse_sitemap_entries
 from ..operators.similarity import (
     cosine_topk,
     embedding_neardup,
@@ -535,6 +544,216 @@ def q_corpus_clean(spark, sf_dir):
         f["alpha_ratio"].alias("alpha_ratio"),
     )
     return out.filter((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.8))
+
+
+@q(
+    "line_dedup",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             'Home | Products | Contact' || chr(10) ||
+             'cookie notice:  we use cookies' || chr(10) ||
+             text || chr(10) || '(c) Example Corp' AS text
+      FROM documents WHERE doc_id < 400
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 'line': l[i]} for i in generate_series(1, len(l))],
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus)
+    ),
+    fps AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN trim(line) <> ''
+                  THEN md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) END AS line_fp
+      FROM lines
+    ),
+    bp AS (
+      SELECT line_fp FROM fps WHERE line_fp IS NOT NULL
+      GROUP BY line_fp HAVING count(DISTINCT doc_id) >= 3
+    )
+    SELECT f.doc_id,
+           coalesce(string_agg(CASE WHEN b.line_fp IS NULL THEN f.line END,
+                               chr(10) ORDER BY f.pos), '') AS text,
+           count(*)::BIGINT AS n_lines,
+           count(b.line_fp)::BIGINT AS n_removed
+    FROM fps f LEFT JOIN bp b ON f.line_fp = b.line_fp
+    GROUP BY f.doc_id
+    """,
+)
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line-level boilerplate removal (CCNet/RefinedWeb
+    cleanup): injected nav/cookie/footer lines recur in every doc, get
+    detected by the fingerprint count (≥3 distinct docs), and are
+    stripped byte-preserving the surviving lines. The whitespace noise
+    in the injected cookie line proves the line normalizer. One explode
+    + one hash-aggregate + one broadcastable join — never all-pairs."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.concat(
+            F.lit("Home | Products | Contact\ncookie notice:  we use cookies\n"),
+            F.col("text"),
+            F.lit("\n(c) Example Corp"),
+        ).alias("text"),
+    )
+    return strip_boilerplate(docs, min_docs=3)
+
+
+@q(
+    "pii_scrub",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' Reach user' || doc_id || '@mail.example.com for details.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' Origin server 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' answered.'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' Call +90 532 ' || (doc_id + 1000000) || ' today.'
+                     ELSE '' END AS text
+      FROM documents WHERE doc_id < 600
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))::INT AS n_emails,
+           len(regexp_extract_all(text, '{_PII_IPV4}'))::INT AS n_ips,
+           len(regexp_extract_all(text, '{_PII_PHONE}'))::INT AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g') AS text
+    FROM corpus
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing for training data: count + replace emails, intl
+    phone numbers, and IPv4 addresses with typed placeholders. The
+    patterns are RE2-compatible so the oracle runs the IDENTICAL
+    pattern text; replacement order (email → phone → IP) is part of the
+    contract and exercised by the injected PII."""
+    d = F.col("doc_id")
+    docs = T(spark, sf_dir, "documents").filter(d < 600).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" Reach user"),
+                    d.cast("string"),
+                    F.lit("@mail.example.com for details."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" Origin server 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 100).cast("string"),
+                    F.lit(" answered."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" Call +90 532 "),
+                    (d + 1000000).cast("string"),
+                    F.lit(" today."),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    c = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+        scrub_pii(F.col("text")).alias("text"),
+    )
+
+
+@q(
+    "sitemap_parse",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey % 20 AS h, o_orderdate::DATE AS o_orderdate
+      FROM orders WHERE o_orderkey < 3000
+    ),
+    hosts AS (SELECT DISTINCT 'shop' || h || '.example.com' AS host FROM o)
+    SELECT 'https://shop' || h || '.example.com/sitemap.xml' AS sitemap_url,
+           'url' AS kind,
+           'https://shop' || h || '.example.com/order/' || o_orderkey AS loc,
+           o_orderdate::VARCHAR AS lastmod,
+           o_orderdate AS lastmod_date
+    FROM o
+    UNION ALL
+    SELECT 'https://' || host || '/sitemap_index.xml' AS sitemap_url,
+           'sitemap' AS kind,
+           'https://' || host || '/sitemap.xml' AS loc,
+           NULL::VARCHAR AS lastmod,
+           NULL::DATE AS lastmod_date
+    FROM hosts
+    """,
+)
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap ingestion round-trip: build per-host <urlset> documents
+    and a <sitemapindex> per host from orders rows, then parse them
+    back with the native-regex sitemap parser. The oracle constructs
+    the EXPECTED entries directly from the source rows — the engine's
+    parse must exactly invert the rendering (whitespace padding inside
+    <loc> included) to match."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    host = F.concat(
+        F.lit("shop"), (F.col("o_custkey") % 20).cast("string"), F.lit(".example.com")
+    )
+    entry = F.concat(
+        F.lit("<url>\n  <loc> https://"),
+        host,
+        F.lit("/order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" </loc>\n  <lastmod>"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.lit("</lastmod>\n</url>\n"),
+    )
+    urlsets = (
+        orders.select(
+            host.alias("host"),
+            F.struct(
+                F.col("o_orderkey").alias("k"), entry.alias("e")
+            ).alias("s"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>\n"),
+                F.array_join(
+                    F.transform(F.sort_array(F.collect_list("s")), lambda s: s["e"]),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    indexes = urlsets.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap_index.xml")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("<sitemapindex>\n<sitemap>\n<loc>https://"),
+            F.col("host"),
+            F.lit("/sitemap.xml</loc>\n</sitemap>\n</sitemapindex>"),
+        ).alias("body"),
+    )
+    sitemaps = urlsets.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")).alias("url"),
+        "body",
+    ).unionByName(indexes)
+    return parse_sitemap_entries(sitemaps)
 
 
 # -------------------------------------------------------------------------
