@@ -39,6 +39,9 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "corpus_clean",
+    "line_dedup",
+    "pii_scrub",
+    "sitemap_parse",
     "listing_enrich",
     "weekly_periods_mmk",
     "quality_score",

@@ -554,7 +554,7 @@ def q_corpus_clean(spark, sf_dir):
              'Home | Products | Contact' || chr(10) ||
              'cookie notice:  we use cookies' || chr(10) ||
              text || chr(10) || '(c) Example Corp' AS text
-      FROM documents WHERE doc_id < 400
+      FROM documents
     ),
     lines AS (
       SELECT doc_id,
@@ -588,7 +588,7 @@ def q_line_dedup(spark, sf_dir):
     stripped byte-preserving the surviving lines. The whitespace noise
     in the injected cookie line proves the line normalizer. One explode
     + one hash-aggregate + one broadcastable join — never all-pairs."""
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+    docs = T(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.lit("Home | Products | Contact\ncookie notice:  we use cookies\n"),
@@ -614,7 +614,7 @@ def q_line_dedup(spark, sf_dir):
              || CASE WHEN doc_id % 11 = 0
                      THEN ' Call +90 532 ' || (doc_id + 1000000) || ' today.'
                      ELSE '' END AS text
-      FROM documents WHERE doc_id < 600
+      FROM documents
     )
     SELECT doc_id,
            len(regexp_extract_all(text, '{_PII_EMAIL}'))::INT AS n_emails,
@@ -635,7 +635,7 @@ def q_pii_scrub(spark, sf_dir):
     pattern text; replacement order (email → phone → IP) is part of the
     contract and exercised by the injected PII."""
     d = F.col("doc_id")
-    docs = T(spark, sf_dir, "documents").filter(d < 600).select(
+    docs = T(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
