@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--budget", type=int, default=500_000)
     ap.add_argument("--cache", default="/tmp/wss_bench_cache")
     ap.add_argument("--out", default="BENCH/steady_state_10m.json")
+    ap.add_argument("--frontier-mode", default="cow", choices=["cow", "mor"])
+    ap.add_argument("--compact-every", type=int, default=8)
     args = ap.parse_args()
 
     from benchkit.genworld import generate_bench_world
@@ -77,7 +79,9 @@ def main() -> int:
         # retention 2: a long steady-state crawl must not hoard every
         # CoW frontier copy — and expiry cost is part of the round
         engine = CrawlEngine(
-            spark, catalog, spec, n_buckets=args.cpus, snapshot_retention=2
+            spark, catalog, spec, n_buckets=args.cpus, snapshot_retention=2,
+            frontier_mode=args.frontier_mode,
+            mor_compact_every=args.compact_every,
         )
         seeds = spark.read.parquet(f"{world}/seeds.parquet")
         robots = spark.read.parquet(f"{world}/robots.parquet")
@@ -91,7 +95,7 @@ def main() -> int:
         rounds = []
         for r in range(1, args.rounds + 1):
             stats = engine.run_round(r, pages, robots, seeds)
-            n_frontier = catalog.read("frontier", version=r).count()
+            n_frontier = engine._read_frontier(r).count()
             rounds.append(
                 {
                     "round_id": r,
@@ -113,7 +117,13 @@ def main() -> int:
             "config": (
                 f"{args.hosts} hosts x {args.yachts} yachts x 28 periods "
                 f"({frontier_rows} frontier rows), {args.budget} budget/round, "
-                f"local[{args.cpus}], light pages, state on /dev/shm"
+                f"local[{args.cpus}], light pages, state on /dev/shm, "
+                f"frontier_mode={args.frontier_mode}"
+                + (
+                    f" (compact every {args.compact_every})"
+                    if args.frontier_mode == "mor"
+                    else ""
+                )
             ),
             "init_frontier_seconds": round(init_s, 1),
             "rounds": rounds,

@@ -13,6 +13,7 @@ from web_scraper_spark.functions.textstats import (
     token_count,
 )
 from web_scraper_spark.operators.dedup import (
+    decontaminate,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -404,3 +405,32 @@ def test_kmeans_centroids_improve_ivf_recall(spark):
     # centroid table has the contract shape ivf_topk consumes
     assert cents.columns == ["cell_id", "cv"]
     assert cents.count() == 8
+
+
+def test_decontaminate_counts_shared_shingles(spark):
+    train = spark.createDataFrame(
+        [
+            # shares the full eval sentence (3 trigrams) → contaminated
+            (1, "the quick brown fox jumps plus extra words here"),
+            # shares exactly one trigram ("quick brown fox") → below
+            # min_overlap=2, kept
+            (2, "a quick brown fox appeared in other text entirely"),
+            # no shared trigrams
+            (3, "completely different content with zero overlap present"),
+            # too short for trigrams
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, eval_docs, min_overlap=2).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["n_overlap"] == 3 and out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 1 and not out[2]["contaminated"]
+    assert out[3]["n_overlap"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_overlap"] == 0 and not out[4]["contaminated"]

@@ -31,6 +31,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash",
     "jaccard_pairs",
+    "decontaminate",
 ]
 
 
@@ -146,6 +147,46 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
     )
     return agg.select("doc_id", sig.alias("simhash"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of word
+    ``n``-gram shingles it shares with ANY eval-set document, keeping
+    docs whose overlap stays below ``min_overlap`` (the Brown/GPT-3-
+    style n-gram overlap filter).
+
+    Returns (doc_id, n_overlap, contaminated). Plan shape at 100 TB:
+    the eval side is a benchmark suite — thousands of docs, not
+    billions — so its distinct shingle set broadcasts and the training
+    corpus is ONE explode + broadcast semi-join + hash-aggregate; the
+    corpus never shuffles on anything but doc_id partial counts.
+    """
+    eval_sh = shingles(eval_docs, text_col=text_col, n=n).select(
+        "shingle"
+    ).distinct()
+    doc_sh = shingles(docs, text_col=text_col, n=n)
+    overlap = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
 
 
 def jaccard_pairs(

@@ -23,6 +23,7 @@ from ..functions.textstats import (
     token_count,
 )
 from ..operators.dedup import (
+    decontaminate,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -544,6 +545,33 @@ def q_corpus_clean(spark, sf_dir):
         f["alpha_ratio"].alias("alpha_ratio"),
     )
     return out.filter((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.8))
+
+
+@q(
+    "decontaminate",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+    ov AS (
+      SELECT doc_id, count(*)::BIGINT AS n_overlap
+      FROM sh JOIN ev USING (shingle)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(ov.n_overlap, 0) AS n_overlap,
+           coalesce(ov.n_overlap, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN ov USING (doc_id)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap filter):
+    every 17th doc plays the eval set; overlap counted on shared
+    trigram shingles. Eval shingles broadcast (a benchmark suite is
+    small); the corpus side is one explode + broadcast join + partial
+    count — no corpus shuffle beyond doc_id aggregation."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(docs, eval_docs, min_overlap=2)
 
 
 @q(

@@ -78,6 +78,10 @@ class ParquetSnapshotCatalog:
     def current_version(self, name: str) -> int | None:
         return self._read_manifest(name)["current"]
 
+    def versions(self, name: str) -> list[int]:
+        """All committed snapshot versions (ascending)."""
+        return sorted(self._read_manifest(name)["history"])
+
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
@@ -200,6 +204,33 @@ class ParquetSnapshotCatalog:
     def read_log(self, name: str) -> DataFrame:
         path = self.append_dir(name)
         return self.spark.read.option("basePath", path).parquet(path)
+
+    def log_round_ids(self, name: str) -> list[int]:
+        """round_id partitions present in an append table (ascending),
+        from directory names only — no file scan."""
+        path = self.append_dir(name)
+        if not os.path.exists(path):
+            return []
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(path)
+            if e.startswith("round_id=")
+        )
+
+    def drop_log_partitions(self, name: str, upto_round: int) -> list[int]:
+        """Remove ``round_id`` partitions ≤ ``upto_round`` (delta
+        cleanup after a merge-on-read compaction folded them into a
+        snapshot). Data deletes only — append tables have no manifest
+        pointer, and readers filter by round_id, so a concurrent crash
+        here leaves extra (already-folded) partitions that the next
+        compaction removes again."""
+        dropped = [r for r in self.log_round_ids(name) if r <= upto_round]
+        for r in dropped:
+            shutil.rmtree(
+                os.path.join(self.append_dir(name), f"round_id={r}"),
+                ignore_errors=True,
+            )
+        return dropped
 
     def log_exists(self, name: str) -> bool:
         path = self.append_dir(name)
