@@ -130,8 +130,15 @@ def main() -> int:
             "note": (
                 "steady state at 10^7 frontier: per-round wall must track the "
                 "budget, not the frontier/seen size — the seen filter is "
-                "OR-merged (never rebuilt) and the frontier snapshot is a "
-                "bucketed CoW write with retention-2 expiry"
+                "OR-merged (never rebuilt) and "
+                + (
+                    "frontier writes are merge-on-read row deltas "
+                    "(budget-proportional) with a full bucketed snapshot "
+                    f"only every {args.compact_every} rounds at compaction"
+                    if args.frontier_mode == "mor"
+                    else "the frontier snapshot is a bucketed CoW write "
+                    "with retention-2 expiry"
+                )
             ),
         }
         os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -44,6 +44,11 @@ from ..operators.priority import (
     DISCOVERED_YACHT_RANK,
     PRIORITY_COLS,
 )
+from ..operators.revisit import (
+    RevisitPolicy,
+    schedule_from_stats,
+    update_revisit_stats,
+)
 from ..operators.seen import build_seen_bloom, filter_unseen
 from ..sources.catalog import ParquetSnapshotCatalog
 from ..sources.fixtures import PolitenessSpec
@@ -119,6 +124,18 @@ class CrawlEngine:
     #           explicit window/anti-join the parquet shim runs.
     frontier_mode: str = "cow"
     mor_compact_every: int = 8
+    # adaptive re-crawl (None = off, the reference-parity mode): a
+    # RevisitPolicy turns `fetched` frontier rows whose change-rate
+    # schedule says they are due back into candidates. The schedule is
+    # derived from a compact per-URL stats snapshot (`revisit_stats`,
+    # one row per content URL: visit/interval/change counters + last
+    # fingerprint) merged each round with that round's extractions —
+    # budget-proportional maintenance like the seen-bloom OR-merge,
+    # never a rescan of the extraction history. Revisit candidates
+    # bypass the URL-seen anti-join (seen dedup gates *discovery*;
+    # revisit gates *freshness*) but still pass the robots gate and
+    # compete for the same politeness budget.
+    revisit: "RevisitPolicy | None" = None
 
     # above this many selected URLs, broadcasting the selection means a
     # multi-hundred-MB driver hash table (measured: 600k rows needed a
@@ -401,6 +418,12 @@ class CrawlEngine:
         return fetched, with_html
 
     # ------------------------------------------------------------------
+    def _revisit_versions(self) -> list[int]:
+        if not self.catalog.exists("revisit_stats"):
+            return []
+        return self.catalog.versions("revisit_stats")
+
+    # ------------------------------------------------------------------
     def _seen(self, frontier: DataFrame) -> DataFrame:
         # url rides along as the collision confirm key for the exact
         # anti-join (the bloom build only reads url_hash)
@@ -451,6 +474,31 @@ class CrawlEngine:
             (F.col("state") == "pending") & (F.col("not_before") <= round_id)
         )
 
+        # adaptive re-crawl: fetched rows whose schedule is due rejoin
+        # the candidate set. The schedule reads the PREVIOUS round's
+        # stats snapshot (pure function of committed state — resume
+        # re-derives the identical due set).
+        revisit_on = self.revisit is not None and any(
+            v <= round_id - 1 for v in self._revisit_versions()
+        )
+        if revisit_on:
+            stats_v = max(
+                v for v in self._revisit_versions() if v <= round_id - 1
+            )
+            due_keys = (
+                schedule_from_stats(
+                    self.catalog.read("revisit_stats", version=stats_v),
+                    self.revisit,
+                    key_cols=["url_hash", "url"],
+                )
+                .filter(F.col("next_due") <= round_id)
+                .select("url_hash", "url")
+            )
+            due = frontier.filter(F.col("state") == "fetched").join(
+                due_keys, ["url_hash", "url"], "left_semi"
+            )
+            candidates = candidates.unionByName(due)
+
         # R9 robots gate (broadcast join)
         allowed, blocked = split_robots(candidates, robots)
 
@@ -473,10 +521,22 @@ class CrawlEngine:
         if self.use_bloom and seen_total_prev > 0:
             bloom, bloom_geom = self._probe_bloom(seen, seen_total_prev, round_id)
         # string-confirmed anti-join: at 10^10 URLs xxhash64 collisions
-        # exist, and a collision here would silently skip a real URL
-        unseen = filter_unseen(
-            allowed, seen, bloom, self.n_buckets, confirm_cols=["url_hash", "url"]
-        )
+        # exist, and a collision here would silently skip a real URL.
+        # Revisit candidates (state `fetched`) are BY DEFINITION seen —
+        # they skip the anti-join instead of being killed by it.
+        if revisit_on:
+            unseen = filter_unseen(
+                allowed.filter(F.col("state") == "pending"),
+                seen,
+                bloom,
+                self.n_buckets,
+                confirm_cols=["url_hash", "url"],
+            ).unionByName(allowed.filter(F.col("state") == "fetched"))
+        else:
+            unseen = filter_unseen(
+                allowed, seen, bloom, self.n_buckets,
+                confirm_cols=["url_hash", "url"],
+            )
 
         # R1-R5 politeness + R8 priority + global budget. The frontier
         # row count (one footer-only statistics job) serves two
@@ -594,6 +654,32 @@ class CrawlEngine:
             F.col("round_id") == round_id
         )
 
+        if self.revisit is not None:
+            # incremental change-rate stats: merge this round's content
+            # fingerprints into the per-URL counters (full-outer join,
+            # visit side bounded by the budget). Reads the previous
+            # snapshot, writes version=round_id — idempotent on re-run
+            # like every other per-round commit.
+            prev_stats = None
+            prev_vs = [v for v in self._revisit_versions() if v <= round_id - 1]
+            if prev_vs:
+                prev_stats = self.catalog.read(
+                    "revisit_stats", version=max(prev_vs)
+                )
+            visits = ext.select(
+                "url_hash",
+                "url",
+                F.lit(round_id).alias("round_id"),
+                F.md5(F.col("text")).alias("fingerprint"),
+            )
+            self.catalog.write_snapshot(
+                "revisit_stats",
+                update_revisit_stats(
+                    prev_stats, visits, key_cols=["url_hash", "url"]
+                ),
+                version=round_id,
+            )
+
         # W3 fetch log (per-partition lineage + metrics source)
         log = (
             self._log_rows(blocked, round_id, "robots", "disallowed")
@@ -676,6 +762,10 @@ class CrawlEngine:
                     )
                     .when(
                         (F.col("outcome") == "timeout")
+                        # only a PENDING row can exhaust into `failed`:
+                        # a revisit timeout keeps the row `fetched` —
+                        # stale content beats forgetting we have it
+                        & (F.col("state") == "pending")
                         & (F.col("attempts") + 1 >= self.spec.retry_max_attempts),
                         F.lit("failed"),
                     )
@@ -832,9 +922,24 @@ class CrawlEngine:
             "discovered": n_discovered,
         }
 
+        # revisits re-fetch already-seen URLs: they must not inflate
+        # the seen total (which sizes the bloom and gates its rebuild)
+        n_revisit_seen = 0
+        if revisit_on:
+            counts["revisited"] = fetched.filter(
+                F.col("state") == "fetched"
+            ).count()
+            n_revisit_seen = fetched.filter(
+                (F.col("state") == "fetched")
+                & F.col("outcome").isin("success", "empty")
+            ).count()
+
         info = {
             **counts,
-            "seen_total": seen_total_prev + counts["success"] + counts["empty"],
+            "seen_total": seen_total_prev
+            + counts["success"]
+            + counts["empty"]
+            - n_revisit_seen,
             "wall_seconds": wall_s,
             # state-maintenance split: per-round cost of the frontier
             # CoW snapshot and the incremental seen-filter OR-merge —
@@ -856,6 +961,10 @@ class CrawlEngine:
             if self.use_bloom:
                 self.catalog.expire_snapshots(
                     "seen_bloom", self.snapshot_retention
+                )
+            if self.revisit is not None:
+                self.catalog.expire_snapshots(
+                    "revisit_stats", self.snapshot_retention
                 )
         fetched.unpersist()
         for h in round_caches:

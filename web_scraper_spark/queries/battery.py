@@ -691,3 +691,100 @@ def q_extract_adversarial(spark, sf_dir):
         F.col("details.yacht_name").alias("yacht_name"),
         F.size("outlinks").alias("n_outlinks"),
     )
+
+
+# -------------------------------------------------------------------------
+# adaptive re-crawl scheduling (beyond R7's fixed daily cycle)
+# -------------------------------------------------------------------------
+
+@q(
+    "revisit_schedule",
+    """
+    WITH h AS (
+      SELECT url_hash,
+             (event_id // 337) * (1 + url_hash % 3) AS round_id,
+             md5('fp' || url_hash || '_' ||
+                 floor(value / (2 + url_hash % 7))::BIGINT) AS fingerprint
+      FROM (
+        SELECT event_id, value,
+               CASE WHEN event_id < 9000 THEN event_id % 337
+                    ELSE event_id END AS url_hash
+        FROM events
+      )
+    ),
+    lagged AS (
+      SELECT url_hash, fingerprint,
+             lag(fingerprint) OVER (
+               PARTITION BY url_hash ORDER BY round_id) AS prev_fp,
+             round_id
+      FROM h
+    ),
+    agg AS (
+      SELECT url_hash,
+             count(prev_fp)::BIGINT AS n_intervals,
+             sum(CASE WHEN prev_fp IS NOT NULL AND fingerprint <> prev_fp
+                      THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+             max(round_id) AS last_round,
+             min(round_id) AS first_round
+      FROM lagged GROUP BY url_hash
+    ),
+    rates AS (
+      SELECT url_hash, n_changes, n_intervals, last_round,
+             CASE WHEN n_intervals = 0 THEN NULL
+                  WHEN n_changes = 0 THEN 0.0
+                  ELSE -ln((n_intervals - n_changes + 0.5)
+                           / (n_intervals + 0.5))
+                       / ((last_round - first_round) / n_intervals::DOUBLE)
+             END AS rate
+      FROM agg
+    ),
+    sched AS (
+      SELECT *,
+             floor(CASE WHEN rate IS NULL THEN 8.0
+                        WHEN rate <= 0 THEN 64.0
+                        ELSE least(greatest(0.5 / rate, 1.0), 64.0)
+                   END)::BIGINT AS interval
+      FROM rates
+    )
+    SELECT url_hash, n_changes, n_intervals,
+           round(rate, 6) AS change_rate,
+           interval,
+           last_round + interval AS next_due
+    FROM sched
+    """,
+)
+def q_revisit_schedule(spark, sf_dir):
+    """Adaptive re-crawl (Cho & Garcia-Molina change-rate MLE) over a
+    visit history synthesized from events: ~337 URLs visited ~30 times
+    with per-URL visit spacing (1 + url%3) and change propensity set by
+    bucketing `value` at width (2 + url%7); event_id >= 9000 become
+    single-visit URLs exercising the no-evidence default-interval path.
+    One window pass + one hash agg — both shuffles on url_hash."""
+    from ..operators.revisit import revisit_schedule
+
+    ev = T(spark, sf_dir, "events")
+    url = (
+        F.when(F.col("event_id") < 9000, F.col("event_id") % 337)
+        .otherwise(F.col("event_id"))
+        .alias("url_hash")
+    )
+    base = ev.select("event_id", "value", url)
+    hist = base.select(
+        "url_hash",
+        (F.expr("event_id DIV 337") * (1 + F.col("url_hash") % 3)).alias(
+            "round_id"
+        ),
+        F.md5(
+            F.concat(
+                F.lit("fp"),
+                F.col("url_hash").cast("string"),
+                F.lit("_"),
+                F.floor(
+                    F.col("value") / (F.lit(2) + F.col("url_hash") % 7)
+                ).cast("string"),
+            )
+        ).alias("fingerprint"),
+    )
+    return revisit_schedule(
+        hist, target=0.5, min_interval=1, max_interval=64, default_interval=8
+    )
