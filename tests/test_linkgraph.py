@@ -1,0 +1,83 @@
+"""Host-graph prioritization: PageRank invariants on hand-checkable
+graphs, dangling-mass redistribution, and the feedback blend."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.linkgraph import (
+    host_edges,
+    host_priority,
+    host_stats,
+    pagerank,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight long")
+
+
+def test_pagerank_sums_to_one_and_ranks_hub(spark):
+    # a, b, c all link to hub; hub links back to a only
+    e = _edges(
+        spark,
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1), ("hub", "a", 1)],
+    )
+    # hub->a returns ALL mass, so ranks carry a period-2 component
+    # decaying at d^2 per step — iterate far enough to converge
+    out = {r["node"]: r["rank"] for r in pagerank(e, n_iter=40).collect()}
+    assert math.isclose(sum(out.values()), 1.0, rel_tol=1e-9)
+    assert out["hub"] == max(out.values())
+    assert out["a"] > out["b"] == out["c"]
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # d has no out-edges: its rank must leak back uniformly, not vanish
+    e = _edges(spark, [("a", "d", 1), ("b", "d", 1), ("c", "d", 1)])
+    out = {r["node"]: r["rank"] for r in pagerank(e, n_iter=5).collect()}
+    assert math.isclose(sum(out.values()), 1.0, rel_tol=1e-9)
+    assert out["d"] == max(out.values())
+
+
+def test_pagerank_weights_matter(spark):
+    # u splits 3:1 between x and y
+    e = _edges(spark, [("u", "x", 3), ("u", "y", 1)])
+    out = {r["node"]: r["rank"] for r in pagerank(e, n_iter=1).collect()}
+    n = 3
+    # uniform part = teleport + redistributed dangling mass (x and y
+    # have no out-edges, each holding rank 1/3 at iteration start)
+    base = (1 - 0.85) / n + 0.85 * (2 / 3) / n
+    assert math.isclose(out["x"] - base, 3 * (out["y"] - base), rel_tol=1e-9)
+
+
+def test_host_edges_drops_self_links_and_aggregates(spark):
+    ext = spark.createDataFrame(
+        [
+            ("a.com", ["https://b.com/1", "https://b.com/2", "https://a.com/x"]),
+            ("a.com", ["https://b.com/3"]),
+        ],
+        "host string, outlinks array<string>",
+    )
+    rows = {(r["src"], r["dst"]): r["weight"] for r in host_edges(ext).collect()}
+    assert rows == {("a.com", "b.com"): 3}
+
+
+def test_host_priority_neutral_priors(spark):
+    ranks = spark.createDataFrame(
+        [("a", 0.6), ("b", 0.3)], "node string, rank double"
+    )
+    stats = host_stats(
+        spark.createDataFrame(
+            [("a", "success"), ("a", "error"), ("c", "success")],
+            "host string, status string",
+        )
+    )
+    out = {r["host"]: r for r in host_priority(ranks, stats).collect()}
+    # never-fetched host keeps the 0.5 prior; ungraphed host gets rank 0
+    assert out["b"]["success_rate"] == 0.5
+    assert out["c"]["rank"] == 0.0
+    # a: full rank share + 0.5 success; priority = .7*1 + .3*.5
+    assert math.isclose(out["a"]["priority"], 0.85, abs_tol=1e-6)
+    assert out["a"]["priority"] > out["b"]["priority"]

@@ -1,0 +1,182 @@
+"""Host-graph analytics for crawl prioritization.
+
+The reference's crawl order is a static config list (its competitor
+dict, config.py) — priority never learns from the crawl. At web scale
+the frontier scheduler wants two feedback signals, both standard:
+
+- **Link-graph centrality** (PageRank over the *host* graph — the
+  page graph at 10^10 URLs is huge, but the host graph is ~10^7-10^8
+  nodes, small enough to iterate cheaply every few rounds). OPIC /
+  PageRank-guided frontier ordering is the classic crawl-scheduling
+  result (Cho, Garcia-Molina & Page, WWW'98: ordering by link score
+  finds important pages sooner than BFS).
+- **Fetch-quality feedback** (per-host success/error/robots rates and
+  mean content quality from completed rounds) — hosts that answer and
+  yield substance outrank link farms with good in-degree.
+
+Shapes at 100 TB: the host graph is built with one explode +
+hash-aggregate over extractions (data-proportional); each PageRank
+iteration is ONE shuffle (edge join + in-neighbor aggregate) over the
+host-graph — not the page corpus; the dangling-mass term is a 1-row
+scalar. Host stats are a single groupBy over the round-partitioned
+fetch log. Everything is built-in Columns — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["host_edges", "pagerank", "host_stats", "host_priority"]
+
+
+def host_edges(extractions: DataFrame) -> DataFrame:
+    """(src, dst, weight) host-level link graph from extraction rows
+    carrying ``host`` and ``outlinks``. Self-links are dropped
+    (intra-host navigation dominates raw counts and carries no
+    scheduling signal); weight = number of page-level links."""
+    return (
+        extractions.select(
+            F.col("host").alias("src"),
+            F.explode("outlinks").alias("raw_link"),
+        )
+        .withColumn(
+            "dst", F.lower(F.try_parse_url(F.col("raw_link"), F.lit("HOST")))
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_to: int | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Weighted PageRank over ``(src, dst, weight)`` — power iteration,
+    one shuffle per iteration, dangling mass redistributed uniformly::
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u) * w(u,v)/out(u)
+                               + dangling_mass / N)
+
+    The node count and per-iteration dangling mass are 1-row scalars
+    (driver-side, metadata-sized — the iteration itself never leaves
+    the cluster). ``round_to`` rounds the final rank (the DuckDB
+    oracle parity contract: float sums agree to well past 6 dp).
+
+    Returns ``(node, rank)``; ranks sum to 1.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = nodes.persist()
+    n = nodes.count()
+    out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # edge transition weight w/out(u); broadcast-sized per-src totals
+    # join once, reused every iteration
+    trans = edges.join(out, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
+    )
+    trans = trans.persist()
+    dangling_nodes = nodes.join(
+        edges.select("src").distinct(),
+        nodes.node == F.col("src"),
+        "left_anti",
+    )
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(n_iter):
+        if i > 0 and i % checkpoint_every == 0:
+            # break lineage: without this the plan deepens by one join
+            # per iteration and analysis/optimization cost grows
+            # quadratically in n_iter (the standard iterative-Spark
+            # trap). localCheckpoint materializes to executor storage —
+            # re-derivable state, so the durability trade is free.
+            ranks = ranks.localCheckpoint(eager=True)
+        dangling_mass = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dangling_mass / n)
+                    )
+                ).alias("rank"),
+            )
+        )
+    if round_to is not None:
+        ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    return ranks
+
+
+def host_stats(fetch_log: DataFrame) -> DataFrame:
+    """Per-host fetch-outcome feedback from the round-partitioned
+    fetch log (W3): counts and rates per status. One hash aggregate.
+
+    Returns (host, n_fetches, n_success, n_error, n_robots,
+    success_rate, error_rate, robots_rate)."""
+    s = F.col("status")
+    agg = fetch_log.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum((s == "success").cast("long")).alias("n_success"),
+        F.sum((s == "error").cast("long")).alias("n_error"),
+        F.sum((s == "robots").cast("long")).alias("n_robots"),
+    )
+    n = F.col("n_fetches").cast("double")
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_success",
+        "n_error",
+        "n_robots",
+        F.round(F.col("n_success") / n, 6).alias("success_rate"),
+        F.round(F.col("n_error") / n, 6).alias("error_rate"),
+        F.round(F.col("n_robots") / n, 6).alias("robots_rate"),
+    )
+
+
+def host_priority(
+    ranks: DataFrame,
+    stats: DataFrame,
+    rank_weight: float = 0.7,
+) -> DataFrame:
+    """Blend link centrality with fetch feedback into one score a
+    scheduler can ORDER BY: normalized rank (share of max) weighted
+    against observed success rate. Hosts never fetched keep a neutral
+    success prior of 0.5; hosts absent from the graph get rank 0.
+
+    Returns (host, rank, success_rate, priority) — higher is better.
+    """
+    max_rank = ranks.agg(F.max("rank")).first()[0] or 1.0
+    r = ranks.select(F.col("node").alias("host"), "rank")
+    joined = r.join(stats.select("host", "success_rate"), "host", "full_outer")
+    return joined.select(
+        "host",
+        F.coalesce("rank", F.lit(0.0)).alias("rank"),
+        F.coalesce("success_rate", F.lit(0.5)).alias("success_rate"),
+        F.round(
+            F.lit(rank_weight)
+            * (F.coalesce("rank", F.lit(0.0)) / F.lit(max_rank))
+            + F.lit(1.0 - rank_weight)
+            * F.coalesce("success_rate", F.lit(0.5)),
+            6,
+        ).alias("priority"),
+    )

@@ -788,3 +788,163 @@ def q_revisit_schedule(spark, sf_dir):
     return revisit_schedule(
         hist, target=0.5, min_interval=1, max_interval=64, default_interval=8
     )
+
+
+# -------------------------------------------------------------------------
+# host-graph crawl prioritization (PageRank + fetch feedback)
+# -------------------------------------------------------------------------
+
+def _pagerank_sql(n_iter: int, final_select: str | None = None) -> str:
+    """Unrolled power-iteration oracle matching operators/linkgraph.py:
+    r0..r{n} CTEs, dangling mass redistributed uniformly. All float
+    literals carry e0 suffixes so DuckDB computes in DOUBLE (its bare
+    decimals are DECIMAL-typed and round differently at the last ulp
+    than the Python-side constants the operator embeds)."""
+    its = []
+    for i in range(n_iter):
+        its.append(f"""
+    d{i} AS (SELECT coalesce(sum(r.rank), 0.0e0) AS mass
+             FROM dang JOIN r{i} r USING (node)),
+    c{i} AS (SELECT t.dst, sum(t.p * r.rank) AS contrib
+             FROM trans t JOIN r{i} r ON t.src = r.node GROUP BY t.dst),
+    r{i + 1} AS (
+      SELECT n.node,
+             (1.0e0 - 0.85e0) / (SELECT n FROM nn)
+             + 0.85e0 * (coalesce(c.contrib, 0.0e0)
+                         + (SELECT mass FROM d{i}) / (SELECT n FROM nn))
+             AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)""")
+    return f"""
+    WITH e0 AS (
+      SELECT 'h' || (user_id % 50) AS src, 'h' || (event_id % 60) AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, count(*)::BIGINT AS weight
+      FROM e0 WHERE src <> dst GROUP BY src, dst
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src, sum(weight)::DOUBLE AS out_w
+             FROM edges GROUP BY src),
+    trans AS (SELECT e.src, e.dst, e.weight / o.out_w AS p
+              FROM edges e JOIN outw o USING (src)),
+    dang AS (SELECT node FROM nodes
+             WHERE node NOT IN (SELECT src FROM edges)),
+    r0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {",".join(its)}
+    {final_select or f'SELECT node, round(rank, 6) AS rank FROM r{n_iter}'}
+    """
+
+
+def _battery_host_edges(spark, sf_dir):
+    from ..operators.linkgraph import host_edges  # noqa: F401 (shape twin below)
+
+    ev = T(spark, sf_dir, "events")
+    # synthetic host graph: 50 linking hosts -> 60 targets (hosts
+    # 50..59 are dangling: linked-to but never crawled as sources)
+    return (
+        ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("h"), (F.col("event_id") % 60).cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+@q("host_pagerank", _pagerank_sql(2))
+def q_host_pagerank(spark, sf_dir):
+    """Link-graph crawl priority: weighted PageRank over a 60-host
+    graph with 10 dangling hosts, 2 power iterations — per-iteration
+    dangling mass and node count are 1-row scalars, each iteration is
+    ONE shuffle over the HOST graph (never the page corpus)."""
+    from ..operators.linkgraph import pagerank
+
+    return pagerank(
+        _battery_host_edges(spark, sf_dir), n_iter=2, damping=0.85, round_to=6
+    )
+
+
+@q(
+    "host_fetch_stats",
+    """
+    SELECT 'h' || (user_id % 37) AS host,
+           count(*)::BIGINT AS n_fetches,
+           sum(CASE WHEN value < 6 THEN 1 ELSE 0 END)::BIGINT AS n_success,
+           sum(CASE WHEN value >= 6 AND value < 9 THEN 1 ELSE 0 END)::BIGINT
+             AS n_error,
+           sum(CASE WHEN value >= 9 THEN 1 ELSE 0 END)::BIGINT AS n_robots,
+           round(sum(CASE WHEN value < 6 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS success_rate,
+           round(sum(CASE WHEN value >= 6 AND value < 9 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS error_rate,
+           round(sum(CASE WHEN value >= 9 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS robots_rate
+    FROM events GROUP BY 1
+    """,
+)
+def q_host_fetch_stats(spark, sf_dir):
+    """Per-host fetch feedback (host_stats over a synthetic W3 fetch
+    log: status derived from `value` buckets). One hash aggregate."""
+    from ..operators.linkgraph import host_stats
+
+    ev = T(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")).alias(
+            "host"
+        ),
+        F.when(F.col("value") < 6, "success")
+        .when(F.col("value") < 9, "error")
+        .otherwise("robots")
+        .alias("status"),
+    )
+    return host_stats(log)
+
+
+_PRIORITY_FINAL = """
+    stats AS (
+      SELECT 'h' || (user_id % 37) AS host,
+             round(sum(CASE WHEN value < 6 THEN 1 ELSE 0 END)
+                   / count(*)::DOUBLE, 6) AS success_rate
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(rank) AS m FROM r1)
+    SELECT coalesce(r.node, s.host) AS host,
+           coalesce(r.rank, 0.0e0) AS rank,
+           coalesce(s.success_rate, 0.5e0) AS success_rate,
+           round(0.7e0 * (coalesce(r.rank, 0.0e0) / (SELECT m FROM mx))
+                 + 0.3e0 * coalesce(s.success_rate, 0.5e0), 6) AS priority
+    FROM r1 r FULL OUTER JOIN stats s ON r.node = s.host
+    """
+
+
+@q("host_priority_blend", _pagerank_sql(1, final_select="," + _PRIORITY_FINAL))
+def q_host_priority_blend(spark, sf_dir):
+    """Scheduler feedback blend: link centrality (1-iteration PageRank
+    over the 60-host graph) x observed success rate (37-host fetch
+    log); hosts with no graph presence get rank 0, hosts never fetched
+    a neutral 0.5 prior. The blend itself is a broadcast-sized join —
+    host cardinality, never page cardinality."""
+    from ..operators.linkgraph import host_priority, host_stats, pagerank
+
+    ev = T(spark, sf_dir, "events")
+    ranks = pagerank(_battery_host_edges(spark, sf_dir), n_iter=1)
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")).alias(
+            "host"
+        ),
+        F.when(F.col("value") < 6, "success")
+        .when(F.col("value") < 9, "error")
+        .otherwise("robots")
+        .alias("status"),
+    )
+    return host_priority(ranks, host_stats(log), rank_weight=0.7)
