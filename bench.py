@@ -42,6 +42,10 @@ HEADLINE = [
     "line_dedup",
     "pii_scrub",
     "sitemap_parse",
+    "decontaminate",
+    "revisit_schedule",
+    "host_pagerank",
+    "host_priority_blend",
     "listing_enrich",
     "weekly_periods_mmk",
     "quality_score",
