@@ -948,3 +948,133 @@ def q_host_priority_blend(spark, sf_dir):
         .alias("status"),
     )
     return host_priority(ranks, host_stats(log), rank_weight=0.7)
+
+
+# -------------------------------------------------------------------------
+# crawler-trap detection + training-data sampling/packing
+# -------------------------------------------------------------------------
+
+@q(
+    "trap_hosts",
+    """
+    WITH u AS (
+      SELECT 'h' || (user_id % 20) AS host,
+             CASE WHEN user_id % 20 < 3
+                  THEN '/cal/' || event_id || '/d' || user_id
+                  ELSE '/p/' || (event_id % 25) END AS path
+      FROM events
+    ),
+    t AS (
+      SELECT host, path,
+             regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', 'H', 'g'),
+                            '[0-9]+', 'N', 'g') AS template
+      FROM u
+    ),
+    per_t AS (
+      SELECT host, template, count(*)::BIGINT AS n_urls,
+             count(DISTINCT path)::BIGINT AS n_paths
+      FROM t GROUP BY host, template
+    ),
+    agg AS (
+      SELECT host, sum(n_urls)::BIGINT AS n_urls,
+             sum(n_paths)::BIGINT AS n_paths,
+             count(*)::BIGINT AS n_templates,
+             max(n_paths)::BIGINT AS max_template_paths
+      FROM per_t GROUP BY host
+    )
+    SELECT host, n_urls, n_paths, n_templates, max_template_paths,
+           round(n_paths / n_templates::DOUBLE, 6) AS expansion,
+           round(n_paths / n_templates::DOUBLE, 6) >= 50.0 AS trap
+    FROM agg
+    """,
+)
+def q_trap_hosts(spark, sf_dir):
+    """Crawler-trap detection: hosts h0-h2 manufacture calendar-style
+    URLs (every event a distinct path, ONE template), h3-h19 serve 25
+    real pages. Expansion = distinct paths per template; two hash
+    aggregations, no distinct pass over the corpus."""
+    from ..operators.traps import trap_signals
+
+    ev = T(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.when(
+            F.col("user_id") % 20 < 3,
+            F.concat(
+                F.lit("/cal/"),
+                F.col("event_id").cast("string"),
+                F.lit("/d"),
+                F.col("user_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/p/"), (F.col("event_id") % 25).cast("string"))
+        )
+        .alias("path"),
+    )
+    return trap_signals(urls, expansion_threshold=50.0)
+
+
+@q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5('wss' || doc_id), 1, 8))::BIGINT % 10000
+          < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 7500
+                      ELSE 5000 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified down-sampling (per-language rates,
+    the CC mixing move): membership is a pure function of (salt, id) —
+    reproducible across engines, re-runs, and cluster widths. Zero
+    shuffle; the bucket filter sits in the scan projection."""
+    from ..operators.sampling import hash_sample
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(
+        docs,
+        {"en": 0.25, "zh": 0.75},
+        strata_col="lang",
+        default_fraction=0.5,
+    )
+
+
+@q(
+    "pack_sequences",
+    """
+    WITH d AS (
+      SELECT ('0x' || substr(md5('shard' || doc_id), 1, 8))::BIGINT % 64
+               AS shard,
+             doc_id, (n_chars % 797)::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             sum(n_tokens + 1) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT shard, doc_id, n_tokens,
+           (cum - n_tokens - 1)::BIGINT AS start_offset,
+           floor((cum - n_tokens - 1) / 512)::BIGINT AS window_first,
+           floor(greatest(cum - 2, cum - n_tokens - 1) / 512)::BIGINT
+             AS window_last
+    FROM c
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concatenative sequence packing: per-shard running sum
+    + integer division lays documents (plus a 1-token separator) into
+    512-token context windows, straddling allowed — one window pass,
+    no Python. Shards are md5-deterministic so the layout is stable
+    under re-runs and any cluster width."""
+    from ..operators.sampling import pack_sequences
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") % 797).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=512, n_shards=64)
