@@ -1,0 +1,109 @@
+"""Connected components over the duplicate-pair graph — the cluster
+step that turns near-dup PAIRS into dedup DECISIONS.
+
+LSH/SimHash/embedding banding emit pairs (a,b); transitive closure
+groups them into clusters so exactly one representative per cluster
+survives (what SlimPajama/CCNet-style pipelines run after MinHash).
+Pairwise "drop b of every pair" over-deletes: in a chain a-b, b-c,
+dropping every pair-right kills b AND c even though c only duplicates
+the already-dropped b.
+
+Algorithm: iterative min-label propagation (the standard map-reduce
+CC; Kang et al.'s HCC / "hash-to-min" family). Every node starts with
+label = its own id; each step every node adopts the minimum label in
+its closed neighborhood; converged when no label changes. Rounds
+needed ≤ graph diameter for this simple variant — duplicate clusters
+are dense (near-cliques from banding), so diameters are tiny; the
+convergence check is a 1-row count, and lineage is checkpoint-broken
+per iteration like the PageRank loop.
+
+Plan shape at 10^10 nodes: each iteration is one equi-join on node id
++ one min-aggregate — both shuffles on the id key, data-proportional
+in the EDGE set (pairs), which banding already bounded. No driver
+state beyond the converged flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_keep_representatives"]
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id reachable from it.
+
+    Stops early when an iteration changes no label (1-row check). For
+    typical dedup graphs (dense near-cliques) this is 2-3 iterations;
+    ``max_iter`` bounds adversarial chains.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    # undirected: union both directions so every endpoint appears as
+    # `src` and one min-aggregate covers the whole neighborhood
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+
+    for _ in range(max_iter):
+        # per node: min(own label, labels of neighbors)
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("n_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_keep_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+) -> DataFrame:
+    """Keep exactly one document per duplicate cluster (the minimum
+    id — deterministic) plus every unpaired document. Input ``pairs``
+    is any near-dup pair set (LSH-verified, SimHash radius, embedding
+    bands); output preserves ``docs``'s schema."""
+    comp = connected_components(pairs, src_col=left_col, dst_col=right_col)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -38,6 +38,10 @@ from ..functions.textstats import (
     pii_counts,
     scrub_pii,
 )
+from ..operators.components import (
+    connected_components,
+    dedup_keep_representatives,
+)
 from ..operators.linededup import strip_boilerplate
 from ..operators.multimodal import binary_meta, decode_features, frame_sample
 from ..operators.sitemap import parse_sitemap_entries
@@ -1242,4 +1246,88 @@ def q_nation_volume(spark, sf_dir):
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+    )
+
+
+# -------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over pair graphs)
+# -------------------------------------------------------------------------
+
+_CC_EDGE_CTES = """
+    base AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+    e0 AS (
+      SELECT doc_id AS src, doc_id + 1 AS dst FROM base
+      WHERE doc_id % 9 IN (0, 1, 2) AND doc_id + 1 < 400
+      UNION ALL
+      SELECT doc_id, doc_id + 18 FROM base
+      WHERE doc_id % 36 = 0 AND doc_id + 18 < 400
+    ),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(node, lab) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, r.lab FROM sym s JOIN reach r ON s.dst = r.node
+    ),
+    comp AS (
+      SELECT node::BIGINT AS node, min(lab)::BIGINT AS component
+      FROM reach GROUP BY node
+    )
+"""
+
+
+def _cc_edges(spark, sf_dir):
+    """Deterministic pair graph over `documents`: length-4 chains
+    (d, d+1 for d%9 in 0..2) plus merge links (d, d+18 for d%36=0)
+    that weld two chains into one 8-node, diameter-7 cluster — the
+    multi-hop shape pairwise dropping gets wrong."""
+    base = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+    chain = base.filter(
+        (F.col("doc_id") % 9).isin(0, 1, 2) & (F.col("doc_id") + 1 < 400)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    merge = base.filter(
+        (F.col("doc_id") % 36 == 0) & (F.col("doc_id") + 18 < 400)
+    ).select(F.col("doc_id").alias("src"), (F.col("doc_id") + 18).alias("dst"))
+    return chain.unionByName(merge)
+
+
+@q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_CC_EDGE_CTES}
+    SELECT node, component FROM comp
+    """,
+)
+def q_dedup_components(spark, sf_dir):
+    """Min-label-propagation connected components (the post-MinHash
+    cluster step): every node labeled with the minimum doc_id reachable
+    through the near-dup pair graph. Oracle is a DuckDB recursive CTE
+    computing the same transitive closure."""
+    return connected_components(_cc_edges(spark, sf_dir))
+
+
+@q(
+    "dedup_cluster_keep",
+    f"""
+    WITH RECURSIVE {_CC_EDGE_CTES}
+    SELECT d.doc_id, length(d.text) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+      AND d.doc_id < 400
+    """,
+)
+def q_dedup_cluster_keep(spark, sf_dir):
+    """One representative per duplicate cluster (minimum id) + all
+    unpaired docs — the dedup DECISION derived from the component
+    labels, with no transitive over-deletion."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+    return dedup_keep_representatives(
+        docs, _cc_edges(spark, sf_dir), left_col="src", right_col="dst"
     )
