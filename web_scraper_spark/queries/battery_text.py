@@ -42,6 +42,13 @@ from ..operators.components import (
     connected_components,
     dedup_keep_representatives,
 )
+from ..operators.corpusmix import (
+    mixture_rates,
+    mixture_sample,
+    source_quality_gate,
+    source_stats,
+)
+from ..functions.textstats import tokens
 from ..operators.linededup import strip_boilerplate
 from ..operators.multimodal import binary_meta, decode_features, frame_sample
 from ..operators.sitemap import parse_sitemap_entries
@@ -1330,4 +1337,124 @@ def q_dedup_cluster_keep(spark, sf_dir):
     )
     return dedup_keep_representatives(
         docs, _cc_edges(spark, sf_dir), left_col="src", right_col="dst"
+    )
+
+
+# -------------------------------------------------------------------------
+# source-level curation: domain quality gate + temperature mixture
+# -------------------------------------------------------------------------
+
+_SRC_STATS_SQL = f"""
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(len({_TOKS_SQL}))::BIGINT AS total_tokens,
+             round(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                   / greatest(sum(length(text)), 1)::DOUBLE, 4) AS alpha_ratio
+      FROM documents GROUP BY source
+"""
+
+_MIX_RATE_SQL = """
+      SELECT source, n_docs, total_tokens, alpha_ratio,
+             least(1.0, round(pow(total_tokens / (min(total_tokens) OVER ()),
+                                  0.7 - 1), 4)) AS rate
+      FROM s
+"""
+
+
+@q(
+    "source_mixture_rates",
+    f"""
+    WITH s AS ({_SRC_STATS_SQL})
+    {_MIX_RATE_SQL}
+    """,
+)
+def q_source_mixture_rates(spark, sf_dir):
+    """Per-source corpus stats + temperature-0.7 mixture acceptance
+    rates: post-sample token mass ∝ T_s^0.7, smallest source keeps
+    rate 1 (no upsampling). One aggregate keyed by source; the rate is
+    a window over the domain-sized stats table."""
+    stats = source_stats(T(spark, sf_dir, "documents"))
+    return mixture_rates(stats, temperature=0.7)
+
+
+@q(
+    "mixture_sample",
+    f"""
+    WITH s AS ({_SRC_STATS_SQL}),
+    r AS ({_MIX_RATE_SQL}),
+    acc AS (
+      SELECT d.source, len({_TOKS_SQL}) AS toks
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE ('0x' || substr(md5('mix' || d.doc_id), 1, 8))::BIGINT % 10000
+            < round(r.rate * 10000)
+    )
+    SELECT source, count(*)::BIGINT AS n_sampled, sum(toks)::BIGINT AS sampled_tokens
+    FROM acc GROUP BY source
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic temperature resample applied: md5-bucket accept
+    under each source's rate, then per-source sampled doc/token
+    counts. Rates broadcast; the accept test is scan-local."""
+    docs = T(spark, sf_dir, "documents")
+    rates = mixture_rates(source_stats(docs), temperature=0.7)
+    samp = mixture_sample(docs, rates)
+    return samp.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.size(tokens(F.col("text")))).alias("sampled_tokens"),
+    )
+
+
+_JUNK_LINE = "!!! ### $$$ %%%"
+_DIGIT_LINE = "0 1 2 3 4 5 6 7 8 9 "
+
+
+@q(
+    "source_quality_gate",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, '{_JUNK_LINE}', 'junkfarm'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 600000,
+             CASE WHEN doc_id % 2 = 0 THEN text
+                  ELSE repeat('{_DIGIT_LINE}', 20) END,
+             'mixed'
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    s AS (
+      SELECT source, count(*) AS n_docs,
+             round(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                   / greatest(sum(length(text)), 1)::DOUBLE, 4) AS alpha_ratio
+      FROM corpus GROUP BY source
+    )
+    SELECT c.doc_id, c.source
+    FROM corpus c JOIN s ON c.source = s.source
+    WHERE s.alpha_ratio >= 0.5 AND s.n_docs >= 1
+    """,
+)
+def q_source_quality_gate(spark, sf_dir):
+    """Domain-level quality gate: inject a pure-junk source plus a
+    'mixed' source whose junk pages outweigh its clean ones — the gate
+    computes corpus-level alpha (sum/sum) per source and drops BOTH
+    whole sources, including mixed's individually-clean docs (the
+    domain-shaped-spam semantic per-doc filters get wrong)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    junk = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.lit(_JUNK_LINE).alias("text"),
+        F.lit("junkfarm").alias("source"),
+    )
+    mixed = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.repeat(F.lit(_DIGIT_LINE), 20))
+        .alias("text"),
+        F.lit("mixed").alias("source"),
+    )
+    corpus = docs.unionByName(junk).unionByName(mixed)
+    return source_quality_gate(corpus, min_alpha=0.5, min_docs=1).select(
+        "doc_id", "source"
     )
