@@ -39,6 +39,9 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "corpus_clean",
+    "dedup_components",
+    "source_quality_gate",
+    "mixture_sample",
     "line_dedup",
     "pii_scrub",
     "sitemap_parse",

@@ -325,9 +325,13 @@ def kmeans_centroids(
       partial aggregation, then only n_cells × dim mean rows reach the
       driver to refresh the bank.
 
-    Components round to 9 decimals each iteration so shuffle-order
-    float jitter in ``avg`` cannot leak into assignments (cosine gaps
-    are ≫ 1e-9); empty cells keep their previous centroid. At corpus
+    Portability: assignment cosines round to 4 decimals before argmax
+    (ties to the lowest cell — the same contract as ``ivf_topk``) and
+    centroid components round to 9 decimals each iteration, so
+    shuffle-order float jitter cannot leak into decisions and a DuckDB
+    twin unrolling the iterations reproduces the centroids exactly
+    (battery ``ann_ivf_kmeans_topk``); empty cells keep their previous
+    centroid. At corpus
     scale run this on a sample — centroid placement needs no full
     scan, and the output table is what ``ivf_topk(centroids=...)``
     consumes.
@@ -343,17 +347,24 @@ def kmeans_centroids(
     C = np.array([r["v"] for r in init], dtype=np.float64)
 
     for _ in range(n_iter):
-        Cn = C / np.maximum(
-            np.linalg.norm(C, axis=1, keepdims=True), 1e-12
-        )
+        Ct = C.T.copy()  # (dim, cells)
+        csq = (C * C).sum(axis=1)
 
         @F.pandas_udf(IntegerType())
         def _assign(vecs: pd.Series) -> pd.Series:
+            # portable-assignment contract (same recipe as ivf_topk):
+            # cos = dot/(|x||c|) rounded to 4 decimals before argmax,
+            # first-max (= lowest cell) on ties — so a SQL twin using
+            # round(list_dot_product/..., 4) with ORDER BY s DESC, cell
+            # reproduces every assignment decision
             X = np.array(vecs.tolist(), dtype=np.float64)
-            Xn = X / np.maximum(
-                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            dots = X @ Ct
+            xsq = (X * X).sum(axis=1)
+            denom = np.maximum(
+                np.sqrt(xsq)[:, None] * np.sqrt(csq)[None, :], 1e-12
             )
-            return pd.Series((Xn @ Cn.T).argmax(axis=1).astype(np.int32))
+            cos = np.round(dots / denom, 4)
+            return pd.Series(cos.argmax(axis=1).astype(np.int32))
 
         means = (
             e.select(_assign("v").alias("cell"), F.posexplode("v"))

@@ -1100,16 +1100,91 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, n_cells=8, n_probe=2, k=5)
 
 
-@q("ann_ivf_kmeans_topk", None)  # iterative k-means: no SQL oracle
+def _kmeans_iter_sql(i: int, dim: int = 64) -> str:
+    """One unrolled Lloyd iteration: portable-rounded assignment
+    (round-4 cosine, ties to the lowest cell) then per-component means
+    rounded to 9 — the exact decision contract ``kmeans_centroids``
+    pins, so the chain reproduces the engine's centroids bit-for-bit."""
+    means = ", ".join(f"round(avg(dv[{d + 1}]), 9)" for d in range(dim))
+    prev = f"c{i - 1}"
+    return f"""
+    a{i} AS (
+      SELECT vec_id, dv, cell FROM (
+        SELECT e.vec_id, e.dv, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.dv', b='c.cv')} DESC, c.cell
+               ) AS r
+        FROM e CROSS JOIN {prev} c
+      ) WHERE r = 1
+    ),
+    m{i} AS (
+      SELECT cell, list_value({means}) AS cv FROM a{i} GROUP BY cell
+    ),
+    c{i} AS (
+      SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN m{i} m USING (cell)
+    )"""
+
+
+_KMEANS_CTES = (
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+      FROM (SELECT vec_id, dv FROM e ORDER BY vec_id LIMIT 8)
+    ),"""
+    + ",".join(_kmeans_iter_sql(i) for i in (1, 2, 3))
+)
+
+
+@q(
+    "ann_ivf_kmeans_topk",
+    f"""
+    {_KMEANS_CTES},
+    c AS (SELECT cell AS cell_id, cv FROM c3),
+    assigned AS (
+      SELECT vec_id, dv AS ev, cell_id FROM (
+        SELECT e.vec_id, e.dv, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.dv', b='c.cv')} DESC, c.cell_id
+               ) AS r
+        FROM e CROSS JOIN c
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, dv AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell_id FROM (
+        SELECT q.query_id, q.qv, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_IVF_COS.format(a='q.qv', b='c.cv')} DESC, c.cell_id
+               ) AS r
+        FROM q CROSS JOIN c
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             {_IVF_COS.format(a='p.qv', b='a.ev')} AS cos_sim
+      FROM probes p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+           ) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def q_ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF with offline Lloyd's k-means centroid placement
     (``kmeans_centroids``) instead of seed vectors — the full two-stage
-    IVF pipeline. The training loop is genuinely iterative (N rounds of
-    assign + mean), so there is no single-query SQL twin; the driver
-    records the rows-only check. Determinism: spherical assignment +
-    per-iteration component rounding; the recall gain over seed
-    centroids is pinned in tests/test_dedup_similarity on a clustered
-    fixture."""
+    IVF pipeline. The training loop IS oracle-checked: 3 Lloyd
+    iterations unrolled as DuckDB CTE chains (round-4 assignment,
+    round-9 means, empty-cell carry-over — the engine's exact decision
+    contract), feeding the same probe/rank SQL as ``ann_ivf_topk``."""
     from ..operators.similarity import kmeans_centroids
 
     emb = T(spark, sf_dir, "embeddings")
