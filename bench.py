@@ -43,6 +43,7 @@ HEADLINE = [
     "source_quality_gate",
     "mixture_sample",
     "line_dedup",
+    "span_dedup",
     "pii_scrub",
     "sitemap_parse",
     "decontaminate",

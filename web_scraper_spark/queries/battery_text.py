@@ -52,6 +52,7 @@ from ..functions.textstats import tokens
 from ..operators.linededup import strip_boilerplate
 from ..operators.multimodal import binary_meta, decode_features, frame_sample
 from ..operators.sitemap import parse_sitemap_entries
+from ..operators.spandedup import strip_duplicate_spans
 from ..operators.similarity import (
     cosine_topk,
     embedding_neardup,
@@ -1533,3 +1534,71 @@ def q_source_quality_gate(spark, sf_dir):
     return source_quality_gate(corpus, min_alpha=0.5, min_docs=1).select(
         "doc_id", "source"
     )
+
+
+# -------------------------------------------------------------------------
+# cross-document duplicate-span (exact-substring) removal
+# -------------------------------------------------------------------------
+
+_SPAN_PROMO = "free newsletter signup brings daily updates straight into your inbox"
+_SPAN_W = 6
+_SPAN_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+@q(
+    "span_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0 THEN ' {_SPAN_PROMO}' ELSE '' END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {_SPAN_TOKS} AS t FROM corpus),
+    h AS (
+      SELECT doc_id, p, md5(array_to_string(t[p+1:p+{_SPAN_W}], ' ')) AS whash
+      FROM (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {_SPAN_W} + 1, 0))) AS p
+        FROM toks
+      )
+    ),
+    fst AS (SELECT whash, min(doc_id) AS fd FROM h GROUP BY whash),
+    marks AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT h.doc_id, unnest(range(h.p, h.p + {_SPAN_W})) AS pos
+        FROM h JOIN fst USING (whash) WHERE h.doc_id > fst.fd
+      )
+    ),
+    positions AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM toks
+    ),
+    kept AS (
+      SELECT p.doc_id,
+             string_agg(p.tok, ' ' ORDER BY p.pos) AS clean,
+             count(*) AS nk
+      FROM positions p ANTI JOIN marks m USING (doc_id, pos)
+      GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(k.clean, '') AS clean_text,
+           (len(t.t) - coalesce(k.nk, 0))::BIGINT AS n_removed
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. semantics, rolling-hash
+    Spark shape): a 10-token promo is appended to every 3rd doc; every
+    verbatim 6-token window shared across docs is stripped everywhere
+    except its minimum-id owner — including incidental n-gram
+    collisions in the synthetic corpus, which both engines must agree
+    on exactly."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _SPAN_PROMO)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return strip_duplicate_spans(docs, window=_SPAN_W)
