@@ -11,7 +11,17 @@ Output: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_HOSTS/BENCH_YACHTS (world size),
-BENCH_CACHE (fixture parquet cache dir, default /tmp/wss_bench_cache).
+BENCH_CACHE (fixture parquet cache dir, default /tmp/wss_bench_cache),
+BENCH_REPEATS (best-of-N per timed section, default 2).
+
+Each timed section runs BENCH_REPEATS times and reports the MINIMUM —
+the serialized best-of-N protocol BENCH/BASELINE.md mandates for this
+shared-host VM, applied inside the harness so a single driver
+invocation is noise-robust. Measured on the round-3 boot: the same
+crawl round on identical input swung 96-202 s across back-to-back
+runs (host steal/scheduling jitter, not code — the round-2 engine
+commit showed the same swing on the same boot; BENCH/boot_noise_r3
+.json), so a single-shot number can misstate wall by 2x.
 """
 
 from __future__ import annotations
@@ -169,22 +179,28 @@ def main() -> int:
         master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="wss-bench"
     )
 
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     total0 = time.monotonic()
 
     world_dir = build_bench_world(spark, n_hosts, yachts, cache)
     warm_up(spark)
-    crawl = run_crawl_round(spark, world_dir)
+    crawls = [run_crawl_round(spark, world_dir) for _ in range(repeats)]
+    crawl = min(crawls, key=lambda c: c["round_sec"])
     timings["crawl_round"] = crawl["round_sec"]
-    timings["crawl_init_frontier"] = crawl["init_sec"]
+    timings["crawl_init_frontier"] = min(c["init_sec"] for c in crawls)
 
     qs = entry_mod.queries()
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize fully
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()  # materialize fully
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(time.monotonic() - total0, 3)
     # round-over-round comparability: the headline set GROWS as operators
@@ -210,6 +226,8 @@ def main() -> int:
         "crawl_success": crawl["success"],
         "cpus": cpus,
         "bench_world": f"{n_hosts} hosts x {yachts} yachts",
+        "repeats": repeats,
+        "crawl_round_all_runs": [c["round_sec"] for c in crawls],
     }
     print(json.dumps(out))
     spark.stop()
