@@ -25,8 +25,11 @@ _line = st.one_of(
     st.sampled_from(
         ["Crawl-delay: fast", "crawl-delay:7", "Crawl-Delay: 5 # tight"]
     ),
+    st.sampled_from(["Allow", "allow", "ALLOW"]).flatmap(
+        lambda kw: st.sampled_from(_PATHS).map(lambda p: f"{kw}: {p}")
+    ),
     st.sampled_from(
-        ["", "   ", "# full comment", "Allow: /ok", "Sitemap: https://s/x.xml", "garbage line"]
+        ["", "   ", "# full comment", "Allow: /ok$", "Allow: /a/*/c", "Sitemap: https://s/x.xml", "garbage line"]
     ),
 )
 
@@ -42,6 +45,7 @@ _robots_txt = st.lists(_line, min_size=0, max_size=18).map("\n".join)
 def test_group_scoped_parser_matches_python_twin(spark, txt, agent):
     df = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
     row = parse_robots_txt(df, user_agent=agent).collect()[0]
-    exp_disallow, exp_delay = parse_robots(txt, user_agent=agent)
+    exp_disallow, exp_allow, exp_delay = parse_robots(txt, user_agent=agent)
     assert list(row.disallow) == exp_disallow, txt
+    assert list(row.allow) == exp_allow, txt
     assert row.crawl_delay_s == exp_delay, txt

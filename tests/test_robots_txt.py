@@ -71,6 +71,78 @@ def test_group_scoped_multi_agent_run(spark):
     assert other["h1"].crawl_delay_s == 5
 
 
+WILDCARD_ROBOTS = """User-agent: *
+Disallow: /search
+Disallow: /*.pdf$
+Disallow: /cart/*/checkout
+Allow: /search/public
+Allow: /docs/*.pdf$
+Crawl-delay: 10
+"""
+
+
+def test_wildcard_and_allow_rules(spark):
+    """RFC 9309 §2.2.2: * / trailing-$ wildcards; longest (most-octets)
+    match wins; Allow wins specificity ties; no match → allowed."""
+    rules = parse_robots_txt(
+        spark.createDataFrame(
+            [("h1", WILDCARD_ROBOTS)], "host string, robots_txt string"
+        )
+    )
+    assert rules.collect()[0].allow == ["/search/public", "/docs/*.pdf$"]
+    urls = {
+        "https://h1/search/q": "B",  # plain prefix disallow
+        "https://h1/search/public/1": "A",  # longer Allow overrides
+        "https://h1/report.pdf": "B",  # *.pdf$ anchored wildcard
+        "https://h1/report.pdf/view": "A",  # $ anchor: not at end
+        "https://h1/docs/a.pdf": "A",  # Allow /docs/*.pdf$ (12 octets) beats /*.pdf$ (7)
+        "https://h1/cart/42/checkout": "B",  # mid-rule *
+        "https://h1/cart/42/items": "A",
+        "https://h1/other": "A",
+    }
+    cand = spark.createDataFrame(
+        [("h1", u) for u in urls], "host string, url string"
+    )
+    allowed, blocked = split_robots(cand, rules)
+    got = {r.url: "A" for r in allowed.collect()}
+    got.update({r.url: "B" for r in blocked.collect()})
+    assert got == urls
+
+
+def test_decision_matches_python_twin_on_tricky_shapes(spark):
+    """Engine Column fold ≡ oracle/pyrobots.robots_blocked on regex
+    metacharacters, tie-breaks, and empty/NULL rule arrays."""
+    from web_scraper_spark.oracle.pyrobots import robots_blocked
+
+    robots = spark.createDataFrame(
+        [
+            ("h1", ["/a(b)", "/c+d", "/e.f"], ["/a(b)c"], 10),
+            ("h2", ["/p"], ["/p"], 10),  # exact tie → Allow wins
+            ("h3", [], [], 10),
+            ("h4", ["/$"], ["/ok"], 10),  # disallow exactly "/"
+        ],
+        "host string, disallow array<string>, allow array<string>, crawl_delay_s int",
+    )
+    paths = ["/a(b)", "/a(b)c", "/aXb", "/c+d", "/ccd", "/e.f", "/eXf",
+             "/p", "/p/x", "/", "/ok", "/other"]
+    cand = spark.createDataFrame(
+        [(h, p, f"https://{h}{p}") for h in ["h1", "h2", "h3", "h4"] for p in paths],
+        "host string, path string, url string",
+    )
+    allowed, blocked = split_robots(cand, robots)
+    got = {(r.host, r.path): False for r in allowed.collect()}
+    got.update({(r.host, r.path): True for r in blocked.collect()})
+    rules = {r.host: (list(r.disallow), list(r.allow)) for r in robots.collect()}
+    for h in ["h1", "h2", "h3", "h4"]:
+        dis, alw = rules.get(h, ([], []))
+        for p in paths:
+            assert got[(h, p)] == robots_blocked(p, dis, alw), (h, p)
+    # regex metachars are literal: /aXb, /ccd, /eXf must not be blocked
+    assert not got[("h1", "/aXb")] and not got[("h1", "/ccd")] and not got[("h1", "/eXf")]
+    assert not got[("h2", "/p")]  # tie → Allow
+    assert got[("h4", "/")] and not got[("h4", "/ok")]
+
+
 def test_parsed_rules_feed_split_robots(spark):
     rules = parse_robots_txt(
         spark.createDataFrame([("h1", ROBOTS)], "host string, robots_txt string")

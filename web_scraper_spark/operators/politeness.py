@@ -41,20 +41,26 @@ DISTRIBUTED_LIMIT_THRESHOLD = 100_000
 def split_robots(
     candidates: DataFrame, robots: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """(allowed, blocked). ``robots``: (host, disallow array<string>,
-    crawl_delay_s). Small table → broadcast hash join, no shuffle of the
-    candidate side."""
+    """(allowed, blocked). ``robots``: (host, disallow array<string>
+    [, allow array<string>], crawl_delay_s). Small table → broadcast
+    hash join, no shuffle of the candidate side.
+
+    Matching is full RFC 9309 §2.2.2 via ``robots_txt.
+    compile_rule_patterns`` + ``robots_blocked_expr``: ``*`` / trailing
+    ``$`` wildcards, Allow vs Disallow longest-match precedence (ties →
+    Allow). Patterns compile once on the broadcast side; plain prefix
+    rules (the common case, and everything the fixture worlds emit)
+    match with ``startswith`` — no regex on the hot path unless a rule
+    actually uses a wildcard."""
+    from .robots_txt import compile_rule_patterns, robots_blocked_expr
+
     path = F.try_parse_url(F.col("url"), F.lit("PATH"))
-    joined = candidates.join(
-        F.broadcast(robots.select("host", "disallow")), "host", "left"
-    ).withColumn(
-        "__blocked",
-        F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
-            F.exists(F.col("disallow"), lambda p: path.startswith(p))
-        ),
+    compiled = compile_rule_patterns(robots).select("host", "rules")
+    joined = candidates.join(F.broadcast(compiled), "host", "left").withColumn(
+        "__blocked", robots_blocked_expr(path, F.col("rules"))
     )
-    allowed = joined.filter(~F.col("__blocked")).drop("__blocked", "disallow")
-    blocked = joined.filter(F.col("__blocked")).drop("__blocked", "disallow")
+    allowed = joined.filter(~F.col("__blocked")).drop("__blocked", "rules")
+    blocked = joined.filter(F.col("__blocked")).drop("__blocked", "rules")
     return allowed, blocked
 
 

@@ -18,6 +18,16 @@ needs):
   ONLY those groups apply; otherwise the ``*`` groups apply — a named
   agent never also inherits ``*`` rules (RFC 9309 §2.2.1).
 
+Matching (RFC 9309 §2.2.2) is implemented by ``compile_rule_patterns``
+(pattern compilation ONCE on the small broadcast robots side: ``*`` →
+``.*``, trailing ``$`` → end anchor, everything else literal-escaped)
+plus ``robots_blocked_expr`` (per-candidate longest-match fold: most
+octets wins, Allow beats Disallow on ties, no match → allowed). Plain
+prefix rules — the common case — skip the regex engine entirely and
+match with ``startswith``. Cross-checked against the pure-Python twin
+``oracle/pyrobots.robots_blocked`` by unit + property tests and the
+``robots_wildcard`` battery row.
+
 The per-line group resolution is an O(lines²) nested-array expression;
 robots files are tens of lines, and keeping it a pure Column means the
 parse stays inside whole-stage codegen with no shuffle at any host
@@ -29,7 +39,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_robots_txt"]
+__all__ = [
+    "parse_robots_txt",
+    "compile_rule_patterns",
+    "robots_blocked_expr",
+]
 
 
 def _lines(txt: Column) -> Column:
@@ -60,7 +74,11 @@ def parse_robots_txt(
 
     def is_dir(l: Column) -> Column:
         low = F.lower(l)
-        return low.rlike(r"^disallow\s*:") | low.rlike(r"^crawl-delay\s*:")
+        return (
+            low.rlike(r"^disallow\s*:")
+            | low.rlike(r"^allow\s*:")
+            | low.rlike(r"^crawl-delay\s*:")
+        )
 
     # positions of every directive line (group boundaries for the
     # "no directive between agent line and this one" test); agent lines
@@ -117,16 +135,23 @@ def parse_robots_txt(
             ),
         )
 
-    disallow = F.filter(
-        F.transform(
-            F.filter(
-                F.col("__clean"),
-                lambda s: F.lower(s["l"]).rlike(r"^disallow\s*:") & in_scope(s["i"]),
+    def rule_values(directive: str) -> Column:
+        return F.filter(
+            F.transform(
+                F.filter(
+                    F.col("__clean"),
+                    lambda s: F.lower(s["l"]).rlike(rf"^{directive}\s*:")
+                    & in_scope(s["i"]),
+                ),
+                lambda s: F.trim(
+                    F.regexp_replace(s["l"], rf"(?i)^{directive}\s*:", "")
+                ),
             ),
-            lambda s: F.trim(F.regexp_replace(s["l"], r"(?i)^disallow\s*:", "")),
-        ),
-        lambda p: p != "",
-    )
+            lambda p: p != "",
+        )
+
+    disallow = rule_values("disallow")
+    allow = rule_values("allow")
     delays = F.filter(
         F.col("__clean"),
         lambda s: F.lower(s["l"]).rlike(r"^crawl-delay\s*:\s*\d+") & in_scope(s["i"]),
@@ -143,5 +168,89 @@ def parse_robots_txt(
     return out.select(
         "host",
         disallow.alias("disallow"),
+        allow.alias("allow"),
         F.coalesce(last_delay, F.lit(default_crawl_delay)).alias("crawl_delay_s"),
+    )
+
+
+def compile_rule_patterns(robots: DataFrame) -> DataFrame:
+    """Pre-compile Allow/Disallow values into a ``rules`` match table —
+    computed ONCE on the (small, broadcast-bound) robots side so the
+    per-candidate row pays only the match, never pattern construction.
+
+    RFC 9309 §2.2.2 matching: ``*`` matches any character run, a
+    TRAILING ``$`` anchors the rule to the path end (a mid-rule ``$``
+    is literal — the convention every major parser shares), everything
+    else is literal. Rules with neither wildcard keep ``plain=true`` and
+    match with ``startswith`` (no regex engine on the hot path for the
+    overwhelmingly-common prefix rules).
+
+    Output adds ``rules array<struct<raw, pat, spec, is_allow, plain>>``
+    where ``spec`` = octet length of the raw rule (the RFC's
+    most-specific-match key) and ties break toward ``is_allow`` = 1.
+    """
+    cols = robots.columns
+    allow_col = (
+        F.col("allow")
+        if "allow" in cols
+        else F.array().cast("array<string>")
+    )
+
+    def rule_struct(raw: Column, is_allow: int) -> Column:
+        anchored = raw.endswith("$")
+        body = F.when(
+            anchored, raw.substr(F.lit(1), F.length(raw) - 1)
+        ).otherwise(raw)
+        esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+        pat = F.concat(
+            F.lit("^"),
+            F.replace(esc, F.lit("*"), F.lit(".*")),
+            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+        )
+        return F.struct(
+            raw.alias("raw"),
+            pat.alias("pat"),
+            F.length(raw).alias("spec"),
+            F.lit(is_allow).alias("is_allow"),
+            (~raw.contains("*") & ~anchored).alias("plain"),
+        )
+
+    rules = F.concat(
+        F.transform(
+            F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+            lambda p: rule_struct(p, 0),
+        ),
+        F.transform(
+            F.coalesce(allow_col, F.array().cast("array<string>")),
+            lambda p: rule_struct(p, 1),
+        ),
+    )
+    keep = [c for c in cols if c not in ("disallow", "allow")]
+    return robots.select(*keep, rules.alias("rules"))
+
+
+def robots_blocked_expr(path: Column, rules: Column) -> Column:
+    """RFC 9309 decision over a pre-compiled ``rules`` array: the
+    most-specific (longest) matching rule wins; Allow wins specificity
+    ties; no match → allowed. NULL rules (host absent from the robots
+    table) → allowed. Pure Column fold — no UDF, no explode."""
+    matched = F.filter(
+        rules,
+        lambda r: F.when(r["plain"], path.startswith(r["raw"])).otherwise(
+            F.rlike(path, r["pat"])
+        ),
+    )
+    best = F.aggregate(
+        matched,
+        F.struct(
+            F.lit(-1).alias("spec"), F.lit(1).alias("is_allow")
+        ),
+        lambda acc, x: F.when(
+            (x["spec"] > acc["spec"])
+            | ((x["spec"] == acc["spec"]) & (x["is_allow"] > acc["is_allow"])),
+            F.struct(x["spec"].alias("spec"), x["is_allow"].alias("is_allow")),
+        ).otherwise(acc),
+    )
+    return F.when(rules.isNull(), F.lit(False)).otherwise(
+        (best["spec"] >= 0) & (best["is_allow"] == 0)
     )

@@ -14,18 +14,20 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["parse_robots"]
+__all__ = ["parse_robots", "robots_blocked"]
 
 _AGENT = re.compile(r"^user-agent\s*:", re.I)
 _DISALLOW = re.compile(r"^disallow\s*:", re.I)
+_ALLOW = re.compile(r"^allow\s*:", re.I)
 _DELAY_DIR = re.compile(r"^crawl-delay\s*:", re.I)
 _DELAY_VAL = re.compile(r"^crawl-delay\s*:\s*(\d+)", re.I)
 
 
 def parse_robots(
     txt: str, user_agent: str = "*", default_crawl_delay: int = 30
-) -> tuple[list[str], int]:
-    """(disallow paths in file order, crawl_delay_s) for ``user_agent``."""
+) -> tuple[list[str], list[str], int]:
+    """(disallow paths, allow paths — each in file order — and
+    crawl_delay_s) for ``user_agent``."""
     lines = [
         re.sub(r"#.*$", "", l).strip(" ")
         for l in re.split(r"\r?\n", txt)
@@ -38,7 +40,7 @@ def parse_robots(
     dirs = [
         i + 1
         for i, l in enumerate(lines)
-        if _DISALLOW.match(l) or _DELAY_DIR.match(l)
+        if _DISALLOW.match(l) or _ALLOW.match(l) or _DELAY_DIR.match(l)
     ]
     named = [a for a in agents if a[1] == user_agent.lower()]
     chosen = named if named else [a for a in agents if a[1] == "*"]
@@ -59,10 +61,38 @@ def parse_robots(
         if _DISALLOW.match(l) and in_scope(i + 1)
     ]
     disallow = [p for p in disallow if p != ""]
+    allow = [
+        _ALLOW.sub("", l).strip(" ")
+        for i, l in enumerate(lines)
+        if _ALLOW.match(l) and in_scope(i + 1)
+    ]
+    allow = [p for p in allow if p != ""]
 
     delays = [
         int(_DELAY_VAL.match(l).group(1))
         for i, l in enumerate(lines)
         if _DELAY_VAL.match(l) and in_scope(i + 1)
     ]
-    return disallow, (delays[-1] if delays else default_crawl_delay)
+    return disallow, allow, (delays[-1] if delays else default_crawl_delay)
+
+
+def _rule_regex(rule: str) -> re.Pattern:
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    pat = "^" + re.escape(body).replace(r"\*", ".*") + ("$" if anchored else "")
+    return re.compile(pat)
+
+
+def robots_blocked(path: str, disallow: list[str], allow: list[str]) -> bool:
+    """Twin of ``operators/robots_txt.robots_blocked_expr``: RFC 9309
+    §2.2.2 longest-match over Allow + Disallow with ``*`` / trailing
+    ``$`` wildcards; specificity = octet length of the raw rule; ties
+    favor Allow; no match → allowed."""
+    best: tuple[int, int] = (-1, 1)  # (spec, is_allow)
+    for rules, is_allow in ((disallow, 0), (allow, 1)):
+        for r in rules:
+            if _rule_regex(r).match(path) is not None:
+                cand = (len(r), is_allow)
+                if cand[0] > best[0] or (cand[0] == best[0] and cand[1] > best[1]):
+                    best = cand
+    return best[0] >= 0 and best[1] == 0
