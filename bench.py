@@ -56,6 +56,8 @@ HEADLINE = [
     "span_dedup",
     "pii_scrub",
     "sitemap_parse",
+    "warc_roundtrip",
+    "robots_wildcard",
     "decontaminate",
     "revisit_schedule",
     "host_pagerank",

@@ -796,6 +796,87 @@ def q_sitemap_parse(spark, sf_dir):
     return parse_sitemap_entries(sitemaps)
 
 
+@q(
+    "warc_roundtrip",
+    """
+    SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+           strftime(TIMESTAMP '2025-01-01 00:00:00'
+                    + (doc_id % 86400) * INTERVAL 1 SECOND,
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+           200::INTEGER AS http_status,
+           'text/html; charset=utf-8' AS content_type,
+           octet_length(encode(text))::BIGINT AS n_body_bytes,
+           text AS body
+    FROM documents
+    """,
+)
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingestion round-trip: render every document as a WARC
+    response record with NATIVE string expressions (Content-Length =
+    ``octet_length`` of the HTTP payload, multi-byte-safe), pack ~7
+    records per "file" blob, parse back with ``sources/warc.parse_warc``
+    (the length-driven Arrow reader). The oracle states the expected
+    record fields directly from the source rows — the parser must
+    exactly invert the render, byte counts included."""
+    from ..sources.warc import parse_warc
+
+    docs = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    ts = F.date_format(
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2025-01-01 00:00:00"))
+            + (F.col("doc_id") % 86400)
+        ),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        F.col("text"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "),
+        ts,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select(
+            (F.col("doc_id") % 7).alias("file_id"),
+            F.struct(F.col("doc_id").alias("k"), record.alias("r")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("s")), lambda s: s["r"]
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("content")
+        )
+    )
+    return parse_warc(blobs).select(
+        "url",
+        "warc_ts",
+        "http_status",
+        "content_type",
+        "n_body_bytes",
+        F.decode(F.col("html"), "UTF-8").alias("body"),
+    )
+
+
 # -------------------------------------------------------------------------
 # similarity search over `embeddings`
 # -------------------------------------------------------------------------

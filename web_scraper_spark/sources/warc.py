@@ -1,0 +1,224 @@
+"""WARC (ISO 28500 / Common Crawl) ingestion — the archive format the
+north-rule input table ("Common-Crawl-style web pages") ships in.
+
+``read_warc(spark, path)`` turns a directory of ``.warc`` /
+``.warc.gz`` files into the engine's pages shape: one row per
+``response`` record with ``(url, warc_ts, http_status, content_type,
+html binary)`` plus record-level lineage. The reference has no archive
+ingestion at all (it fetches live through Selenium —
+``/root/reference/src/core/tracker/nausys_tracker.py:257-268``); this
+source exists so the crawl engine can bootstrap/backfill a frontier
+from an existing archive, the standard way web-scale corpora arrive.
+
+Scale shape:
+
+- **File-grain parallelism.** Common Crawl's convention is ~1 GiB
+  WARC files, millions of them per crawl; ``binaryFile`` gives one
+  task per file, which is the right grain because WARC-gzip is
+  record-member-compressed and has no intra-file split points a
+  generic reader can find. A 100 TB archive is ~10^5 files → ample
+  tasks for any executor count; ``maxPartitionBytes`` is irrelevant
+  here (each file is one row).
+- **Length-driven parsing, not scanning.** Records are walked by
+  ``Content-Length`` — a body that itself contains ``WARC/1.0`` or
+  CRLF runs cannot confuse the parser (regex/split-based readers get
+  this wrong; tests pin it). On malformed input the parser resyncs to
+  the next record header and reports the skip in ``warc_errors``
+  rather than failing the file.
+- **Arrow-batched.** One ``mapInPandas`` stage, no per-row Python
+  UDF; the wide body bytes enter Arrow once and are never shuffled
+  (downstream consumers project before any exchange, same contract as
+  ``extract_pages``).
+
+``render_warc`` (pure Python) is the writer twin used by fixtures and
+round-trip tests; the ``warc_roundtrip`` battery row renders records
+natively in SQL expressions and parses them back with this module, so
+the DuckDB oracle can state the expected output directly from the
+source rows.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+__all__ = ["read_warc", "parse_warc", "render_warc", "WARC_RECORD_SCHEMA"]
+
+_CRLF = b"\r\n"
+_HDR = b"WARC/1.0\r\n"
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("warc_ts", StringType(), True),  # ISO-8601 as written
+        StructField("warc_type", StringType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("n_body_bytes", LongType(), True),
+        StructField("record_offset", LongType(), True),
+        StructField("warc_errors", IntegerType(), True),
+    ]
+)
+
+
+def render_warc(
+    url: str,
+    date_iso: str,
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    warc_type: str = "response",
+) -> bytes:
+    """One WARC record (writer twin of the parser): WARC headers,
+    blank line, payload, record terminator. ``response`` records wrap
+    ``body`` in an HTTP response envelope; other types carry ``body``
+    verbatim as the record payload."""
+    if warc_type == "response":
+        http = (
+            f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: {content_type}\r\n\r\n"
+        ).encode() + body
+    else:
+        http = body
+    warc_headers = (
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date_iso}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return _HDR + warc_headers + _CRLF + http + _CRLF + _CRLF
+
+
+def _parse_file(blob: bytes) -> Iterator[tuple]:
+    """Yield one tuple per record in one WARC file's bytes.
+
+    Walks by Content-Length; on any malformed header block, scans
+    forward to the next ``WARC/1.0\\r\\n`` and counts the resync in the
+    next yielded record's ``warc_errors``.
+    """
+    if blob[:2] == b"\x1f\x8b":
+        # gzip.decompress consumes ALL members — covers both
+        # whole-file gzip and Common Crawl's member-per-record form
+        blob = gzip.decompress(blob)
+    pos = 0
+    errors = 0
+    n = len(blob)
+    while pos < n:
+        start = blob.find(_HDR, pos)
+        if start < 0:
+            break
+        if start != pos:
+            errors += 1  # junk between records
+        cursor = start + len(_HDR)
+        hdr_end = blob.find(_CRLF + _CRLF, cursor)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        ok = True
+        for line in blob[cursor:hdr_end].split(_CRLF):
+            k, sep, v = line.partition(b":")
+            if not sep:
+                ok = False
+                break
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+        length = headers.get("content-length", "")
+        if not ok or not length.isdigit():
+            errors += 1
+            pos = start + 1  # resync: search again past this header
+            continue
+        body_start = hdr_end + 4
+        body_end = body_start + int(length)
+        if body_end > n:
+            errors += 1
+            break
+        payload = blob[body_start:body_end]
+        pos = body_end
+        if blob[pos : pos + 4] == _CRLF + _CRLF:
+            pos += 4
+
+        status: int | None = None
+        ctype: str | None = None
+        body: bytes = payload
+        if headers.get("warc-type") == "response":
+            http_end = payload.find(_CRLF + _CRLF)
+            if http_end >= 0:
+                http_lines = payload[:http_end].split(_CRLF)
+                parts = http_lines[0].split(b" ")
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for line in http_lines[1:]:
+                    k, sep, v = line.partition(b":")
+                    if sep and k.strip().lower() == b"content-type":
+                        ctype = v.strip().decode("latin-1")
+                body = payload[http_end + 4 :]
+        yield (
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            headers.get("warc-type"),
+            status,
+            ctype,
+            body,
+            len(body),
+            start,
+            errors,
+        )
+        errors = 0
+
+
+def parse_warc(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """(… ``content_col`` binary …) → one row per WARC record
+    (``WARC_RECORD_SCHEMA``). Each input row holds ONE WARC file's
+    bytes (plain or gzip). Arrow-batched. If the input has a ``path``
+    column (``binaryFile`` provides one) it is carried through as
+    ``source_path`` so ``(source_path, record_offset)`` is a full
+    record lineage key."""
+    import pandas as pd
+
+    has_path = "path" in files.columns
+    out_schema = WARC_RECORD_SCHEMA
+    if has_path:
+        out_schema = StructType(
+            [StructField("source_path", StringType(), True)]
+            + list(WARC_RECORD_SCHEMA.fields)
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for i, blob in enumerate(pdf[content_col]):
+                if blob is None:
+                    continue
+                for rec in _parse_file(bytes(blob)):
+                    rows.append((pdf["path"].iloc[i], *rec) if has_path else rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    keep = ["path", content_col] if has_path else [content_col]
+    return files.select(*keep).mapInPandas(run, out_schema)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of ``.warc`` / ``.warc.gz`` files → records.
+    One task per file (``binaryFile``); see module docstring for why
+    that is the correct grain for WARC."""
+    return parse_warc(
+        spark.read.format("binaryFile").load(path), content_col="content"
+    )
