@@ -58,6 +58,8 @@ HEADLINE = [
     "sitemap_parse",
     "warc_roundtrip",
     "robots_wildcard",
+    "registrable_domain",
+    "text_normalize",
     "decontaminate",
     "revisit_schedule",
     "host_pagerank",

@@ -81,3 +81,50 @@ def test_host_priority_neutral_priors(spark):
     # a: full rank share + 0.5 success; priority = .7*1 + .3*.5
     assert math.isclose(out["a"]["priority"], 0.85, abs_tol=1e-6)
     assert out["a"]["priority"] > out["b"]["priority"]
+
+
+def test_adaptive_crawl_delay_backoff_tiers(spark):
+    from web_scraper_spark.operators.linkgraph import adaptive_crawl_delay
+
+    # error rates 0.0, 0.1, 0.25, 0.5, 1.0 → doublings 0,1,2,4(cap),4
+    log = []
+    for host, n_err in (("h0", 0), ("h1", 1), ("h2", 2), ("h3", 5), ("h4", 8)):
+        log += [(host, "error")] * n_err + [(host, "success")] * (8 - n_err)
+    stats = host_stats(
+        spark.createDataFrame(log, "host string, status string")
+    )
+    out = {r.host: r.crawl_delay_s for r in adaptive_crawl_delay(stats).collect()}
+    assert out == {"h0": 30, "h1": 60, "h2": 120, "h3": 480, "h4": 480}
+
+
+def test_adaptive_delay_shrinks_polite_budget(spark):
+    """The backoff composes with select_polite: a doubled delay halves
+    the per-round host budget."""
+    from web_scraper_spark.operators.linkgraph import adaptive_crawl_delay
+    from web_scraper_spark.operators.politeness import select_polite
+    from web_scraper_spark.sources.fixtures import PolitenessSpec
+
+    stats = host_stats(
+        spark.createDataFrame(
+            [("slow", "error")] * 4 + [("slow", "success")] * 4
+            + [("fast", "success")] * 8,
+            "host string, status string",
+        )
+    )
+    robots = adaptive_crawl_delay(stats, base_delay_s=30).select(
+        "host", "crawl_delay_s"
+    )
+    cand = spark.createDataFrame(
+        [(h, f"https://{h}/{i}", i) for h in ("slow", "fast") for i in range(100)],
+        "host string, url string, seed_rank int",
+    ).selectExpr(
+        "host", "url", "seed_rank", "0 as depth", "0 as discovery_round",
+        "0 as yacht_rank", "0 as period_idx",
+    )
+    spec = PolitenessSpec(round_seconds=600, global_batch_urls=10_000,
+                          global_pause_s=3600)
+    picked = select_polite(cand, robots, spec).groupBy("host").count()
+    out = {r.host: r["count"] for r in picked.collect()}
+    # fast: 600/30 = 20; slow at 0.5 error rate → 4 doublings? no:
+    # floor(0.5/0.1)=5 capped at 4 → 30*16=480 → budget max(1, 600/480)=1
+    assert out == {"fast": 20, "slow": 1}

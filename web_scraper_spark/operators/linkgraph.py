@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["host_edges", "pagerank", "host_stats", "host_priority"]
+__all__ = [
+    "host_edges",
+    "pagerank",
+    "host_stats",
+    "host_priority",
+    "adaptive_crawl_delay",
+]
 
 
 def host_edges(extractions: DataFrame) -> DataFrame:
@@ -150,6 +156,41 @@ def host_stats(fetch_log: DataFrame) -> DataFrame:
         F.round(F.col("n_success") / n, 6).alias("success_rate"),
         F.round(F.col("n_error") / n, 6).alias("error_rate"),
         F.round(F.col("n_robots") / n, 6).alias("robots_rate"),
+    )
+
+
+def adaptive_crawl_delay(
+    stats: DataFrame,
+    base_delay_s: int = 30,
+    error_threshold: float = 0.1,
+    max_backoff_doublings: int = 4,
+) -> DataFrame:
+    """Error-feedback politeness: hosts whose observed error rate
+    exceeds ``error_threshold`` get their crawl delay doubled once per
+    threshold-multiple (AIMD-style multiplicative backoff, capped at
+    ``2**max_backoff_doublings``); healthy hosts keep ``base_delay_s``.
+    Feeds ``select_polite``'s ``crawl_delay_s`` column, so the backoff
+    becomes a smaller per-round host budget rather than a wall-clock
+    sleep — same virtual-time translation as R1-R5.
+
+    doublings = min(max, floor(error_rate / threshold)); a host erroring
+    at 3.7× the threshold backs off 2^3 = 8×. Derived from the
+    round-partitioned fetch log only (pure function of committed state
+    — resume-safe, like ``schedule_from_stats``). One projection over
+    the (host-sized) stats table; no shuffle.
+
+    Returns (host, error_rate, crawl_delay_s).
+    """
+    doublings = F.least(
+        F.lit(max_backoff_doublings),
+        F.floor(F.col("error_rate") / F.lit(error_threshold)).cast("int"),
+    )
+    return stats.select(
+        "host",
+        "error_rate",
+        (F.lit(base_delay_s) * F.pow(F.lit(2.0), doublings))
+        .cast("long")
+        .alias("crawl_delay_s"),
     )
 
 

@@ -229,6 +229,100 @@ def q_robots_filter(spark, sf_dir):
 
 
 @q(
+    "adaptive_backoff",
+    """
+    WITH s AS (
+      SELECT user_id % 20 AS host,
+             round(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   / count(*)::DOUBLE, 6) AS error_rate
+      FROM events GROUP BY 1
+    )
+    SELECT host::VARCHAR AS host, error_rate,
+           (30 * pow(2.0, least(4, floor(error_rate / 0.1)::INT)))::BIGINT
+             AS crawl_delay_s
+    FROM s
+    """,
+)
+def q_adaptive_backoff(spark, sf_dir):
+    """Error-feedback politeness: per-host fetch-outcome rates from the
+    (simulated) fetch log drive multiplicative crawl-delay backoff —
+    the delay that feeds select_polite's per-round host budget."""
+    from ..operators.linkgraph import adaptive_crawl_delay, host_stats
+
+    ev = T(spark, sf_dir, "events")
+    log = ev.select(
+        (F.col("user_id") % 20).cast("string").alias("host"),
+        F.when(F.col("event_type") == "error", F.lit("error"))
+        .otherwise(F.lit("success"))
+        .alias("status"),
+    )
+    return adaptive_crawl_delay(host_stats(log)).select(
+        "host", "error_rate", "crawl_delay_s"
+    )
+
+
+@q(
+    "registrable_domain",
+    """
+    SELECT host,
+      CASE c_custkey % 8
+        WHEN 0 THEN 'shop' || c_custkey || '.com'
+        WHEN 1 THEN 'site' || c_custkey || '.co.uk'
+        WHEN 2 THEN 'x' || c_custkey || '.zone' || c_custkey % 5 || '.ck'
+        WHEN 3 THEN 'www.ck'
+        WHEN 4 THEN 'a' || c_custkey || '.com.au'
+        WHEN 5 THEN 'site' || c_custkey || '.unknowntld'
+        WHEN 6 THEN 'site' || c_custkey || '.unknowntld'
+        ELSE NULL
+      END AS reg_domain
+    FROM (
+      SELECT c_custkey,
+        CASE c_custkey % 8
+          WHEN 0 THEN 'www.shop' || c_custkey || '.com'
+          WHEN 1 THEN 'a.b.site' || c_custkey || '.co.uk'
+          WHEN 2 THEN 'x' || c_custkey || '.zone' || c_custkey % 5 || '.ck'
+          WHEN 3 THEN 'sub' || c_custkey || '.www.ck'
+          WHEN 4 THEN 'deep.a' || c_custkey || '.com.au'
+          WHEN 5 THEN 'site' || c_custkey || '.unknowntld'
+          WHEN 6 THEN 'cdn.site' || c_custkey || '.unknowntld'
+          ELSE 'co.uk'
+        END AS host
+      FROM customer
+    )
+    """,
+)
+def q_registrable_domain(spark, sf_dir):
+    """eTLD+1 extraction under the PSL algorithm (longest suffix,
+    wildcard ``*.`` rules, ``!`` exceptions, implicit ``*`` default) —
+    the politeness/ownership grouping key at web scale. Host classes
+    cover every rule branch; the oracle states the expected registrable
+    domain per class directly."""
+    from ..functions.domains import registrable_domain
+
+    cust = T(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    host = (
+        F.when(k % 8 == 0, F.concat(F.lit("www.shop"), ks, F.lit(".com")))
+        .when(k % 8 == 1, F.concat(F.lit("a.b.site"), ks, F.lit(".co.uk")))
+        .when(
+            k % 8 == 2,
+            F.concat(
+                F.lit("x"), ks, F.lit(".zone"), (k % 5).cast("string"), F.lit(".ck")
+            ),
+        )
+        .when(k % 8 == 3, F.concat(F.lit("sub"), ks, F.lit(".www.ck")))
+        .when(k % 8 == 4, F.concat(F.lit("deep.a"), ks, F.lit(".com.au")))
+        .when(k % 8 == 5, F.concat(F.lit("site"), ks, F.lit(".unknowntld")))
+        .when(k % 8 == 6, F.concat(F.lit("cdn.site"), ks, F.lit(".unknowntld")))
+        .otherwise(F.lit("co.uk"))
+    )
+    return cust.select(host.alias("host")).select(
+        "host", registrable_domain(F.col("host")).alias("reg_domain")
+    )
+
+
+@q(
     "robots_wildcard",
     """
     WITH cand AS (

@@ -797,6 +797,42 @@ def q_sitemap_parse(spark, sf_dir):
 
 
 @q(
+    "text_normalize",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || ' Cafe' || chr(769) || ' ' || chr(201) || 'T' ||
+             chr(233) || '  ' || chr(9) || 'ws' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(lower(nfc_normalize(raw)),
+                               '\\s+', ' ', 'g')) AS norm,
+           trim(regexp_replace(lower(strip_accents(nfc_normalize(raw))),
+                               '\\s+', ' ', 'g')) AS norm_ascii
+    FROM t
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Unicode dedup-key normalization: NFC composition (combining
+    acute + 'e' → 'é'), optional accent strip, lowercase, whitespace
+    collapse. Decorations are built from codepoints (combining U+0301,
+    É, é, a tab) so the oracle constructs byte-identical input; DuckDB's
+    ICU nfc_normalize/strip_accents and Python's unicodedata must agree
+    byte-for-byte on the output."""
+    from ..functions.unicode_norm import normalize_text
+
+    docs = T(spark, sf_dir, "documents")
+    deco = " Cafe" + chr(769) + " " + chr(201) + "T" + chr(233) + "  \tws"
+    raw = F.concat(F.col("text"), F.lit(deco))
+    return docs.select(
+        "doc_id",
+        normalize_text(raw).alias("norm"),
+        normalize_text(raw, accents=True).alias("norm_ascii"),
+    )
+
+
+@q(
     "warc_roundtrip",
     """
     SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
