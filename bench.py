@@ -60,6 +60,7 @@ HEADLINE = [
     "robots_wildcard",
     "registrable_domain",
     "text_normalize",
+    "lm_perplexity",
     "decontaminate",
     "revisit_schedule",
     "host_pagerank",

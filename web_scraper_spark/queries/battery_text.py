@@ -797,6 +797,55 @@ def q_sitemap_parse(spark, sf_dir):
 
 
 @q(
+    "lm_perplexity",
+    """
+    WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 < 3),
+    tg AS (
+      SELECT substr(text, i, 3) AS gram
+      FROM (SELECT text,
+                   unnest(generate_series(1, greatest(length(text)-2, 0)))::INT AS i
+            FROM tr)
+      WHERE length(substr(text, i, 3)) = 3
+    ),
+    m3 AS (SELECT gram, count(*)::BIGINT AS c3 FROM tg GROUP BY 1),
+    m2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(c3) AS c2 FROM m3 GROUP BY 1),
+    v AS (SELECT count(DISTINCT substr(gram, 3, 1)) AS vs FROM m3),
+    sg AS (
+      SELECT doc_id, substr(text, i, 3) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text)-2, 0)))::INT AS i
+            FROM documents)
+      WHERE length(substr(text, i, 3)) = 3
+    ),
+    sc AS (
+      SELECT sg.doc_id,
+             ln((coalesce(m3.c3, 0) + 1.0) /
+                (coalesce(m2.c2, 0) + 1.0 * v.vs)) AS logp
+      FROM sg
+      LEFT JOIN m3 USING (gram)
+      LEFT JOIN m2 ON substr(sg.gram, 1, 2) = m2.ctx
+      CROSS JOIN v
+    )
+    SELECT d.doc_id, round(avg(sc.logp), 6) AS lm_logp_avg
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality ranking: an add-1-smoothed character
+    trigram model trained on a 30% doc sample (one explode + hash agg;
+    the model is alphabet-bounded → broadcast), then every document
+    scored by mean transition log-prob under it. The oracle retrains
+    the identical model in SQL — counts, smoothing, vocab definition
+    and all — so train AND score are both checked."""
+    from ..operators.lmscore import lm_score, train_char_lm
+
+    docs = T(spark, sf_dir, "documents")
+    lm = train_char_lm(docs.filter(F.col("doc_id") % 10 < 3))
+    return lm_score(docs, lm)
+
+
+@q(
     "text_normalize",
     """
     WITH t AS (
