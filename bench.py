@@ -61,6 +61,7 @@ HEADLINE = [
     "registrable_domain",
     "text_normalize",
     "lm_perplexity",
+    "charset_decode",
     "decontaminate",
     "revisit_schedule",
     "host_pagerank",

@@ -797,6 +797,65 @@ def q_sitemap_parse(spark, sf_dir):
 
 
 @q(
+    "charset_decode",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN text || ' caf' || chr(233)
+        WHEN 1 THEN text
+        WHEN 2 THEN 'caf' || chr(233) || ' ma' || chr(241) || 'ana #' || doc_id
+        ELSE '<meta http-equiv="Content-Type" '
+             || 'content="text/html; charset=iso-8859-1">d' || chr(233)
+             || 'clar' || chr(233) || ' #' || doc_id
+      END AS text,
+      CASE doc_id % 4
+        WHEN 0 THEN 'utf-8'
+        WHEN 1 THEN 'utf-8-bom'
+        WHEN 2 THEN 'windows-1252'
+        ELSE 'iso-8859-1'
+      END AS charset
+    FROM documents
+    """,
+)
+def q_charset_decode(spark, sf_dir):
+    """WHATWG-style charset sniffing over raw page bytes: BOM, declared
+    <meta charset>, strict-UTF-8 attempt, windows-1252 fallback. Each
+    doc_id class renders its bytes in a different real encoding (Spark's
+    encode() does the byte-level work); the oracle states the decoded
+    text + detected charset directly — the decode stage must invert the
+    encoding exactly, including latin-1 high bytes that are invalid
+    UTF-8 sequences."""
+    from ..operators.charset import decode_html
+
+    docs = T(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4
+    e_acute, n_tilde = chr(233), chr(241)
+    latin_body = F.concat(
+        F.lit("caf" + e_acute + " ma" + n_tilde + "ana #"),
+        F.col("doc_id").cast("string"),
+    )
+    meta_body = F.concat(
+        F.lit(
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1">d'
+            + e_acute + "clar" + e_acute + " #"
+        ),
+        F.col("doc_id").cast("string"),
+    )
+    html = (
+        F.when(k == 0, F.encode(F.concat(F.col("text"), F.lit(" caf" + e_acute)), "UTF-8"))
+        .when(
+            k == 1,
+            F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(F.col("text"), "UTF-8")),
+        )
+        .when(k == 2, F.encode(latin_body, "ISO-8859-1"))
+        .otherwise(F.encode(meta_body, "ISO-8859-1"))
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return decode_html(pages).select("doc_id", "text", "charset")
+
+
+@q(
     "lm_perplexity",
     """
     WITH tr AS (SELECT text FROM documents WHERE doc_id % 10 < 3),
