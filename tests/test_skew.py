@@ -96,3 +96,54 @@ def test_hot_host_bounded_by_partial_window(spark):
     # cold hosts: 3000s / default 30s = 100, capped by their 100 rows
     assert per_host["cold0.example.com"] == 100
     assert len(per_host) == 51
+
+
+def test_domain_grain_budget_shared_across_subdomains(spark):
+    """grain='domain': wildcard-subdomain fan-out (or a trap minting
+    hostnames) shares ONE registrable-domain budget; grain='host'
+    (reference parity) keeps per-hostname budgets."""
+    from web_scraper_spark.operators.politeness import select_polite
+    from web_scraper_spark.sources.fixtures import PolitenessSpec
+
+    cand = spark.createDataFrame(
+        [
+            (f"sub{s}.trap.com", f"https://sub{s}.trap.com/{i}", s * 100 + i)
+            for s in range(10)
+            for i in range(10)
+        ]
+        + [("honest.org", f"https://honest.org/{i}", i) for i in range(10)],
+        "host string, url string, seed_rank int",
+    ).selectExpr(
+        "host", "url", "seed_rank", "0 as depth", "0 as discovery_round",
+        "0 as yacht_rank", "0 as period_idx",
+    )
+    robots = spark.createDataFrame(
+        [("none", [], 120)], "host string, disallow array<string>, crawl_delay_s int"
+    )
+    spec = PolitenessSpec(
+        round_seconds=600,
+        global_batch_urls=10_000,
+        global_pause_s=3600,
+        default_crawl_delay_s=120,
+    )  # budget = 600/120 = 5 per politeness identity
+
+    by_host = select_polite(cand, robots, spec)  # default grain
+    got_host = {
+        r.host: r["count"]
+        for r in by_host.groupBy("host").count().collect()
+    }
+    assert got_host["honest.org"] == 5
+    assert all(got_host[f"sub{s}.trap.com"] == 5 for s in range(10))  # 50 total
+
+    by_domain = select_polite(cand, robots, spec, grain="domain")
+    trap_total = by_domain.filter("host like '%trap.com'").count()
+    honest_total = by_domain.filter("host = 'honest.org'").count()
+    assert trap_total == 5  # ONE budget for the whole registrable domain
+    assert honest_total == 5
+    # priority order is preserved within the domain: the 5 winners are
+    # the globally-best-ranked trap rows
+    winners = {
+        r.seed_rank
+        for r in by_domain.filter("host like '%trap.com'").collect()
+    }
+    assert winners == {0, 1, 2, 3, 4}

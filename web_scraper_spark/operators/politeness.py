@@ -70,6 +70,7 @@ def select_polite(
     spec: PolitenessSpec,
     cache_handles: list | None = None,
     candidate_upper_bound: int | None = None,
+    grain: str = "host",
 ) -> DataFrame:
     """Politeness-budgeted, priority-ordered selection for one round.
 
@@ -83,7 +84,19 @@ def select_polite(
     limit machinery (range partition + persist + count jobs for the
     distributed top-G) is skipped entirely — it would select everything
     anyway.
+
+    ``grain``: the politeness identity. ``"host"`` (default, the
+    reference-parity grain) budgets per hostname; ``"domain"`` budgets
+    per registrable domain (eTLD+1 via ``functions.domains``), so a
+    site fanning out wildcard subdomains — or a crawler trap minting
+    hostnames — cannot multiply its share of the round. The robots
+    delay join stays host-keyed either way (robots.txt is per-host by
+    definition); only the budget window re-keys. Hosts with no
+    extractable registrable domain (IPs, single labels) fall back to
+    their own hostname as the group key.
     """
+    if grain not in ("host", "domain"):
+        raise ValueError(f"unknown politeness grain {grain!r}")
     with_delay = candidates.join(
         F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left"
     ).withColumn(
@@ -105,7 +118,19 @@ def select_polite(
         ),
     )
 
-    w_host = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in PRIORITY_COLS])
+    if grain == "domain":
+        from ..functions.domains import registrable_domain
+
+        with_delay = with_delay.withColumn(
+            "__grain",
+            F.coalesce(registrable_domain(F.col("host")), F.col("host")),
+        )
+        grain_col = "__grain"
+    else:
+        grain_col = "host"
+    w_host = Window.partitionBy(grain_col).orderBy(
+        *[F.col(c).asc() for c in PRIORITY_COLS]
+    )
     # A LITERAL rank cap rides along with the exact per-host (variable)
     # budget filter: only a literal rank predicate triggers Catalyst's
     # InferWindowGroupLimit, which inserts the map-side PARTIAL
@@ -122,7 +147,7 @@ def select_polite(
             (F.col("__rn_host") <= F.lit(rank_cap))
             & (F.col("__rn_host") <= F.col("__host_budget"))
         )
-        .drop("__rn_host", "__host_budget", "crawl_delay_s")
+        .drop("__rn_host", "__host_budget", "crawl_delay_s", "__grain")
     )
 
     # global budget: TakeOrdered for modest G (distributed top-G, driver

@@ -136,6 +136,11 @@ class CrawlEngine:
     # revisit gates *freshness*) but still pass the robots gate and
     # compete for the same politeness budget.
     revisit: "RevisitPolicy | None" = None
+    # politeness identity: "host" (reference-parity default) or
+    # "domain" — budget per registrable domain (eTLD+1), closing the
+    # wildcard-subdomain / minted-hostname budget-multiplication hole
+    # (functions/domains.py; operators/politeness.select_polite grain)
+    politeness_grain: str = "host"
 
     # above this many selected URLs, broadcasting the selection means a
     # multi-hundred-MB driver hash table (measured: 600k rows needed a
@@ -549,6 +554,7 @@ class CrawlEngine:
             self.spec,
             cache_handles=round_caches,
             candidate_upper_bound=frontier_rows,
+            grain=self.politeness_grain,
         )
 
         if self.client_factory is not None:
