@@ -14,11 +14,16 @@ def test_detect_and_decode_pure_python_edges():
     assert detect_and_decode("café".encode()) == ("café", "utf-8")
     # invalid UTF-8 → windows-1252 (0xE9 = é)
     assert detect_and_decode(b"caf\xe9 ok") == ("café ok", "windows-1252")
-    # declared charset honored
+    # declared charset honored — WHATWG label mapping: iso-8859-1 is a
+    # LABEL for windows-1252 (browsers decode 0x80-0x9F as punctuation)
     t, c = detect_and_decode(
         b'<meta charset="iso-8859-1">caf\xe9'
     )
-    assert c == "iso-8859-1" and t.endswith("café")
+    assert c == "windows-1252" and t.endswith("café")
+    # latin-1-labeled page using cp1252 smart quotes in 0x80-0x9F:
+    # decodes to curly quotes, never C1 control characters
+    t, c = detect_and_decode(b'<meta charset="latin-1">\x93hi\x94')
+    assert c == "windows-1252" and "“hi”" in t
     # http-equiv form
     t, c = detect_and_decode(
         b'<meta http-equiv="Content-Type" content="text/html; '

@@ -157,3 +157,78 @@ def test_parsed_rules_feed_split_robots(spark):
     allowed, blocked = split_robots(cand, rules)
     assert {r.url for r in allowed.collect()} == {"https://h1/public/y"}
     assert {r.url for r in blocked.collect()} == {"https://h1/private/x"}
+
+
+def test_match_target_includes_query_and_root(spark):
+    """ADVICE r3 (medium): RFC 9309 matches path+query, and the empty
+    path of a bare https://host is '/'. Query-bearing rules like
+    'Disallow: /*?' and 'Disallow: /search?q=' must actually block, and
+    'Disallow: /' must block the root URL."""
+    from web_scraper_spark.oracle.pyrobots import match_target, robots_blocked
+
+    robots = spark.createDataFrame(
+        [
+            ("h1", ["/*?"], [], 10),            # any query string
+            ("h2", ["/search?q="], [], 10),     # query-prefix rule
+            ("h3", ["/"], [], 10),              # block everything incl. root
+        ],
+        "host string, disallow array<string>, allow array<string>, crawl_delay_s int",
+    )
+    urls = {
+        ("h1", "https://h1/p"): False,
+        ("h1", "https://h1/p?a=1"): True,
+        ("h1", "https://h1/p?"): True,          # bare '?' still a query
+        ("h2", "https://h2/search?q=1"): True,
+        ("h2", "https://h2/search?other=1"): False,
+        ("h2", "https://h2/search"): False,
+        ("h3", "https://h3"): True,             # empty path → '/'
+        ("h3", "https://h3/x"): True,
+    }
+    cand = spark.createDataFrame(
+        [(h, u) for (h, u) in urls], "host string, url string"
+    )
+    allowed, blocked = split_robots(cand, robots)
+    got = {(r.host, r.url): False for r in allowed.collect()}
+    got.update({(r.host, r.url): True for r in blocked.collect()})
+    assert got == urls
+    # pure-Python twin agrees via the same match target
+    rules = {r.host: (list(r.disallow), list(r.allow)) for r in robots.collect()}
+    for (h, u), want in urls.items():
+        dis, alw = rules[h]
+        assert robots_blocked(match_target(u), dis, alw) == want, (h, u)
+
+
+def test_specificity_counts_octets_not_characters(spark):
+    """ADVICE r3: RFC 9309 longest-match precedence is over OCTETS.
+    Discriminating case — Disallow '/é' (2 chars, 3 octets) vs Allow
+    '/*' (2 chars, 2 octets) on path '/éx': character counting ties
+    (tie → Allow → not blocked); octet counting gives Disallow strictly
+    more specificity → BLOCKED. Engine and twin must both block."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.operators.robots_txt import (
+        compile_rule_patterns,
+        robots_blocked_expr,
+    )
+    from web_scraper_spark.oracle.pyrobots import robots_blocked
+
+    def decide(dis: list[str], alw: list[str], path: str) -> bool:
+        compiled = compile_rule_patterns(
+            spark.createDataFrame(
+                [("h1", dis, alw, 10)],
+                "host string, disallow array<string>, "
+                "allow array<string>, crawl_delay_s int",
+            )
+        )
+        return compiled.select(
+            robots_blocked_expr(F.lit(path), F.col("rules")).alias("b")
+        ).collect()[0].b
+
+    assert decide(["/é"], ["/*"], "/éx") is True  # octets: 3 > 2
+    assert robots_blocked("/éx", ["/é"], ["/*"]) is True
+    # mirrored: Allow non-ASCII beats the shorter-in-octets Disallow
+    assert decide(["/*"], ["/é"], "/éx") is False
+    assert robots_blocked("/éx", ["/*"], ["/é"]) is False
+    # ASCII control: same shape, same octet/char length → tie → Allow
+    assert decide(["/a"], ["/*"], "/ax") is False
+    assert robots_blocked("/ax", ["/a"], ["/*"]) is False

@@ -147,3 +147,46 @@ def test_domain_grain_budget_shared_across_subdomains(spark):
         for r in by_domain.filter("host like '%trap.com'").collect()
     }
     assert winners == {0, 1, 2, 3, 4}
+
+
+def test_domain_grain_one_budget_monotonic_in_priority(spark):
+    """ADVICE r3: a domain whose member hosts carry DIFFERENT
+    crawl-delays gets ONE grain budget (from the max member delay), so
+    the domain-wide rank filters against a single number — selection is
+    monotonic in priority (the winners are exactly the top-k rows of
+    the domain), never 'rank-3 from a slow host drops while rank-5 from
+    a fast sibling passes'."""
+    from web_scraper_spark.operators.politeness import select_polite
+    from web_scraper_spark.sources.fixtures import PolitenessSpec
+
+    # a.d.com: delay 300 (host budget 2); b.d.com: delay 60 (budget 10)
+    # domain budget = 600 / max(300, 60) = 2
+    cand = spark.createDataFrame(
+        [
+            ("a.d.com", "https://a.d.com/0", 0),
+            ("b.d.com", "https://b.d.com/1", 1),
+            ("a.d.com", "https://a.d.com/2", 2),
+            ("b.d.com", "https://b.d.com/3", 3),
+            ("b.d.com", "https://b.d.com/4", 4),
+        ],
+        "host string, url string, seed_rank int",
+    ).selectExpr(
+        "host", "url", "seed_rank", "0 as depth", "0 as discovery_round",
+        "0 as yacht_rank", "0 as period_idx",
+    )
+    robots = spark.createDataFrame(
+        [("a.d.com", [], 300), ("b.d.com", [], 60)],
+        "host string, disallow array<string>, crawl_delay_s int",
+    )
+    spec = PolitenessSpec(
+        round_seconds=600,
+        global_batch_urls=10_000,
+        global_pause_s=3600,
+        default_crawl_delay_s=120,
+    )
+    got = sorted(
+        r.seed_rank
+        for r in select_polite(cand, robots, spec, grain="domain").collect()
+    )
+    # exactly the two highest-priority rows of the domain, no skips
+    assert got == [0, 1]

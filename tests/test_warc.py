@@ -136,3 +136,60 @@ def test_warc_records_feed_pages_shape(spark):
     row = pages.collect()[0]
     assert row.warc_ts.year == 2025 and row.warc_ts.second == 7
     assert bytes(row.html).startswith(b"<html>")
+
+
+def test_truncated_final_record_surfaces_trailing_error(spark):
+    """ADVICE r3: a truncated final record (Content-Length runs past
+    EOF) must not vanish silently — it surfaces as a final all-NULL row
+    carrying warc_errors, while the preceding good record still parses
+    clean."""
+    good = render_warc("https://h/ok", "2025-01-01T00:00:00Z", b"fine")
+    truncated = render_warc(
+        "https://h/cut", "2025-01-01T00:00:01Z", b"x" * 100
+    )[:-60]  # chop into the body
+    rows = _records(spark, [good + truncated])
+    ok = [r for r in rows if r.url == "https://h/ok"]
+    tail = [r for r in rows if r.url is None]
+    assert len(ok) == 1 and ok[0].warc_errors == 0
+    assert len(tail) == 1 and tail[0].warc_errors >= 1
+    assert tail[0].warc_type is None and tail[0].html is None
+
+
+def test_trailing_junk_surfaces_error(spark):
+    good = render_warc("https://h/ok", "2025-01-01T00:00:00Z", b"fine")
+    rows = _records(spark, [good + b"#### trailing garbage, no header"])
+    tail = [r for r in rows if r.url is None]
+    assert len(tail) == 1 and tail[0].warc_errors >= 1
+
+
+def test_gzip_member_streaming_with_truncated_tail(spark):
+    """Member-per-record gzip where the LAST member is cut mid-stream:
+    the complete members parse, the truncation surfaces as a trailing
+    error row instead of throwing or silently dropping."""
+    recs = [
+        render_warc(f"https://g/{i}", "2025-01-01T00:00:00Z", f"b{i}".encode())
+        for i in range(3)
+    ]
+    blob = (
+        gzip.compress(recs[0])
+        + gzip.compress(recs[1])
+        + gzip.compress(recs[2])[:-20]  # cut into the deflate stream
+    )
+    rows = _records(spark, [blob])
+    urls = sorted(r.url for r in rows if r.url is not None)
+    assert urls == ["https://g/0", "https://g/1"]
+    tail = [r for r in rows if r.url is None]
+    assert len(tail) == 1 and tail[0].warc_errors >= 1
+
+
+def test_gzip_large_member_decodes_in_chunks(spark):
+    """A body bigger than the 1 MiB decompression chunk exercises the
+    incremental buffer fill (have()/find() pulling multiple chunks)."""
+    body = bytes(range(256)) * 8192  # 2 MiB
+    blob = gzip.compress(
+        render_warc("https://big/1", "2025-01-01T00:00:00Z", body)
+        + render_warc("https://big/2", "2025-01-01T00:00:01Z", b"tiny")
+    )
+    rows = sorted(_records(spark, [blob]), key=lambda r: r.url)
+    assert [r.url for r in rows] == ["https://big/1", "https://big/2"]
+    assert bytes(rows[0].html) == body and rows[0].warc_errors == 0

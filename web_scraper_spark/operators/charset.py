@@ -42,16 +42,27 @@ _META_RE = re.compile(
     re.IGNORECASE,
 )
 
+# WHATWG Encoding Standard label table (subset): iso-8859-1 / latin1 /
+# ascii are all LABELS FOR windows-1252 — browsers decode pages labeled
+# latin-1 with cp1252 so the 0x80-0x9F range yields curly quotes and
+# em-dashes, not C1 control characters. windows-1252 is a superset of
+# printable latin-1, so correctly-labeled latin-1 pages decode
+# identically.
 _ALIASES = {
     "utf-8": "utf-8",
     "utf8": "utf-8",
-    "iso-8859-1": "iso-8859-1",
-    "iso8859-1": "iso-8859-1",
-    "latin-1": "iso-8859-1",
-    "latin1": "iso-8859-1",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
     "windows-1252": "windows-1252",
     "cp1252": "windows-1252",
-    "us-ascii": "utf-8",  # ascii is a utf-8 subset
+    # deliberate WHATWG deviation: ascii labels get a strict UTF-8
+    # attempt first (UTF-8 is an ASCII superset, so correctly-labeled
+    # pages decode identically; the common "ascii"-labeled-but-UTF-8
+    # mislabel is recovered instead of mojibake'd), falling through to
+    # the cp1252 sniff on failure
+    "us-ascii": "utf-8",
     "ascii": "utf-8",
 }
 

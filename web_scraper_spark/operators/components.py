@@ -14,8 +14,10 @@ label = its own id; each step every node adopts the minimum label in
 its closed neighborhood; converged when no label changes. Rounds
 needed ≤ graph diameter for this simple variant — duplicate clusters
 are dense (near-cliques from banding), so diameters are tiny; the
-convergence check is a 1-row count, and lineage is checkpoint-broken
-per iteration like the PageRank loop.
+convergence flag is computed inside the relabel projection and read
+out by the same job that materializes the per-iteration checkpoint
+(one Spark job per iteration), and lineage is checkpoint-broken per
+iteration like the PageRank loop.
 
 Plan shape at 10^10 nodes: each iteration is one equi-join on node id
 + one min-aggregate — both shuffles on the id key, data-proportional
@@ -40,9 +42,10 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable from it.
 
-    Stops early when an iteration changes no label (1-row check). For
-    typical dedup graphs (dense near-cliques) this is 2-3 iterations;
-    ``max_iter`` bounds adversarial chains.
+    Stops early when an iteration changes no label; the changed count
+    comes from the same job that materializes the iteration (no extra
+    convergence job). For typical dedup graphs (dense near-cliques)
+    this is 2-3 iterations; ``max_iter`` bounds adversarial chains.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -67,6 +70,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("n_min"))
         )
+        # the change flag rides along in the relabel projection (the
+        # old component is already in the join), and the NON-eager
+        # localCheckpoint is materialized by the count itself — ONE
+        # Spark job per iteration does relabel + lineage break +
+        # convergence check, instead of a checkpoint job plus an extra
+        # join+filter+count job
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -74,17 +83,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("n_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("n_min", F.col("component")) < F.col("component")
+                ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__changed").count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     sym.unpersist()

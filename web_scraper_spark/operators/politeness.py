@@ -52,12 +52,19 @@ def split_robots(
     rules (the common case, and everything the fixture worlds emit)
     match with ``startswith`` — no regex on the hot path unless a rule
     actually uses a wildcard."""
-    from .robots_txt import compile_rule_patterns, robots_blocked_expr
+    from .robots_txt import (
+        compile_rule_patterns,
+        robots_blocked_expr,
+        robots_match_target,
+    )
 
-    path = F.try_parse_url(F.col("url"), F.lit("PATH"))
+    # RFC 9309 match target = path + '?query' (empty path → '/'), so
+    # query-bearing rules ('/*?', '/search?q=') actually fire and
+    # 'Disallow: /' blocks the bare root URL
+    target = robots_match_target(F.col("url"))
     compiled = compile_rule_patterns(robots).select("host", "rules")
     joined = candidates.join(F.broadcast(compiled), "host", "left").withColumn(
-        "__blocked", robots_blocked_expr(path, F.col("rules"))
+        "__blocked", robots_blocked_expr(target, F.col("rules"))
     )
     allowed = joined.filter(~F.col("__blocked")).drop("__blocked", "rules")
     blocked = joined.filter(F.col("__blocked")).drop("__blocked", "rules")
@@ -89,44 +96,77 @@ def select_polite(
     reference-parity grain) budgets per hostname; ``"domain"`` budgets
     per registrable domain (eTLD+1 via ``functions.domains``), so a
     site fanning out wildcard subdomains — or a crawler trap minting
-    hostnames — cannot multiply its share of the round. The robots
-    delay join stays host-keyed either way (robots.txt is per-host by
-    definition); only the budget window re-keys. Hosts with no
-    extractable registrable domain (IPs, single labels) fall back to
-    their own hostname as the group key.
+    hostnames — cannot multiply its share of the round. At domain grain
+    the budget is a SINGLE value per registrable domain (derived from
+    the max member-host crawl-delay in the robots table), so the
+    domain-wide priority rank filters against one number and selection
+    stays monotonic in priority. Hosts with no extractable registrable
+    domain (IPs, single labels) fall back to their own hostname as the
+    group key.
     """
     if grain not in ("host", "domain"):
         raise ValueError(f"unknown politeness grain {grain!r}")
-    with_delay = candidates.join(
-        F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left"
-    ).withColumn(
-        "__host_budget",
-        F.greatest(
+
+    def budget_from_delay(delay):
+        # zero-guard mirrors PolitenessSpec.host_budget's max(1, delay):
+        # a 'Crawl-delay: 0' robots line must not divide by zero (ANSI
+        # abort) / grant an infinite budget
+        return F.greatest(
             F.lit(1),
             (
                 F.lit(spec.round_seconds)
-                # zero-guard mirrors PolitenessSpec.host_budget's
-                # max(1, delay): a 'Crawl-delay: 0' robots line must not
-                # divide by zero (ANSI abort) / grant an infinite budget
                 / F.greatest(
                     F.lit(1),
-                    F.coalesce(
-                        F.col("crawl_delay_s"), F.lit(spec.default_crawl_delay_s)
-                    ),
+                    F.coalesce(delay, F.lit(spec.default_crawl_delay_s)),
                 )
             ).cast("long"),
-        ),
-    )
+        )
 
     if grain == "domain":
         from ..functions.domains import registrable_domain
 
-        with_delay = with_delay.withColumn(
-            "__grain",
-            F.coalesce(registrable_domain(F.col("host")), F.col("host")),
+        # ONE budget per grain key, not per member host: the window rank
+        # is domain-wide, so filtering it against each row's per-host
+        # budget makes selection non-monotonic in priority (a rank-3 row
+        # from a budget-1 host drops while a lower-priority row from a
+        # sibling host passes) and can under-fill every host's budget.
+        # The grain budget derives from the domain's MAX member
+        # crawl-delay in the robots table — the strictest member governs
+        # the whole domain; domains with no robots entry fall back to
+        # the default delay. Computed on the broadcast-sized robots
+        # side, so the candidate side pays no extra shuffle.
+        grain_budgets = (
+            robots.select(
+                F.coalesce(
+                    registrable_domain(F.col("host")), F.col("host")
+                ).alias("__grain"),
+                F.coalesce(
+                    F.col("crawl_delay_s"), F.lit(spec.default_crawl_delay_s)
+                ).alias("__delay"),
+            )
+            .groupBy("__grain")
+            .agg(budget_from_delay(F.max("__delay")).alias("__budget"))
+        )
+        default_budget = max(
+            1, spec.round_seconds // max(1, spec.default_crawl_delay_s)
+        )
+        with_delay = (
+            candidates.withColumn(
+                "__grain",
+                F.coalesce(registrable_domain(F.col("host")), F.col("host")),
+            )
+            .join(F.broadcast(grain_budgets), "__grain", "left")
+            .withColumn(
+                "__host_budget",
+                F.coalesce(F.col("__budget"), F.lit(int(default_budget))),
+            )
+            .drop("__budget")
         )
         grain_col = "__grain"
     else:
+        with_delay = candidates.join(
+            F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left"
+        ).withColumn("__host_budget", budget_from_delay(F.col("crawl_delay_s")))
         grain_col = "host"
     w_host = Window.partitionBy(grain_col).orderBy(
         *[F.col(c).asc() for c in PRIORITY_COLS]

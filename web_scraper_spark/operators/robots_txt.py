@@ -43,7 +43,24 @@ __all__ = [
     "parse_robots_txt",
     "compile_rule_patterns",
     "robots_blocked_expr",
+    "robots_match_target",
 ]
+
+
+def robots_match_target(url: Column) -> Column:
+    """RFC 9309 §2.2.2 match target for a URL Column: the path with the
+    query string appended (``?`` included), and the empty path of a bare
+    ``https://host`` normalized to ``/``. Rules like ``Disallow: /*?``
+    or ``Disallow: /search?q=`` only work against this target — matching
+    the bare path silently disables every query-bearing rule and lets
+    ``Disallow: /`` miss the root URL."""
+    path = F.coalesce(
+        F.nullif(F.try_parse_url(url, F.lit("PATH")), F.lit("")), F.lit("/")
+    )
+    q = F.try_parse_url(url, F.lit("QUERY"))
+    return F.concat(
+        path, F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )
 
 
 def _lines(txt: Column) -> Column:
@@ -210,7 +227,9 @@ def compile_rule_patterns(robots: DataFrame) -> DataFrame:
         return F.struct(
             raw.alias("raw"),
             pat.alias("pat"),
-            F.length(raw).alias("spec"),
+            # RFC 9309 longest-match specificity counts OCTETS, not
+            # characters — non-ASCII rules must win ties by byte length
+            F.octet_length(raw).alias("spec"),
             F.lit(is_allow).alias("is_allow"),
             (~raw.contains("*") & ~anchored).alias("plain"),
         )

@@ -131,9 +131,11 @@ class OracleCrawler:
         r = self.robots_by_host.get(e.host)
         if not r:
             return False
-        path = "/" + e.url.split("://", 1)[1].split("/", 1)[1] if "/" in e.url.split("://", 1)[1] else "/"
-        path = path.split("?", 1)[0]
-        return any(path.startswith(p) for p in r["disallow"])
+        # RFC 9309 match target: path + '?query' (same as the engine's
+        # robots_match_target) — query-bearing rules must fire here too
+        from .pyrobots import match_target
+
+        return any(match_target(e.url).startswith(p) for p in r["disallow"])
 
     # -- one round ---------------------------------------------------------
     def run_round(self, round_id: int) -> dict:

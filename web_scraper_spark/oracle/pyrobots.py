@@ -14,7 +14,25 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["parse_robots", "robots_blocked"]
+__all__ = ["parse_robots", "robots_blocked", "match_target"]
+
+
+def match_target(url: str) -> str:
+    """Twin of ``operators/robots_txt.robots_match_target``: the RFC
+    9309 match target — path plus ``?query`` when a query is present,
+    the empty path of a bare ``scheme://host`` normalized to ``/``.
+    Fragments never reach the matcher."""
+    rest = url.split("://", 1)[1] if "://" in url else url
+    rest = rest.split("#", 1)[0]
+    path_q = ""
+    for sep in ("/", "?"):
+        idx = rest.find(sep)
+        if idx != -1:
+            path_q = rest[idx:]
+            break
+    if path_q.startswith("?"):
+        path_q = "/" + path_q
+    return path_q or "/"
 
 _AGENT = re.compile(r"^user-agent\s*:", re.I)
 _DISALLOW = re.compile(r"^disallow\s*:", re.I)
@@ -92,7 +110,7 @@ def robots_blocked(path: str, disallow: list[str], allow: list[str]) -> bool:
     for rules, is_allow in ((disallow, 0), (allow, 1)):
         for r in rules:
             if _rule_regex(r).match(path) is not None:
-                cand = (len(r), is_allow)
+                cand = (len(r.encode("utf-8")), is_allow)
                 if cand[0] > best[0] or (cand[0] == best[0] and cand[1] > best[1]):
                     best = cand
     return best[0] >= 0 and best[1] == 0

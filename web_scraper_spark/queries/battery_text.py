@@ -811,15 +811,16 @@ def q_sitemap_parse(spark, sf_dir):
       CASE doc_id % 4
         WHEN 0 THEN 'utf-8'
         WHEN 1 THEN 'utf-8-bom'
-        WHEN 2 THEN 'windows-1252'
-        ELSE 'iso-8859-1'
+        ELSE 'windows-1252'
       END AS charset
     FROM documents
     """,
 )
 def q_charset_decode(spark, sf_dir):
     """WHATWG-style charset sniffing over raw page bytes: BOM, declared
-    <meta charset>, strict-UTF-8 attempt, windows-1252 fallback. Each
+    <meta charset> (iso-8859-1 labels decode as windows-1252, the WHATWG
+    label mapping browsers use), strict-UTF-8 attempt, windows-1252
+    fallback. Each
     doc_id class renders its bytes in a different real encoding (Spark's
     encode() does the byte-level work); the oracle states the decoded
     text + detected charset directly — the decode stage must invert the

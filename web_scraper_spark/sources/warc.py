@@ -24,7 +24,14 @@ Scale shape:
   CRLF runs cannot confuse the parser (regex/split-based readers get
   this wrong; tests pin it). On malformed input the parser resyncs to
   the next record header and reports the skip in ``warc_errors``
-  rather than failing the file.
+  rather than failing the file; errors at the very tail (truncated
+  final record) surface as a final all-NULL row carrying the count.
+- **Bounded memory per task.** Gzip members are decompressed
+  incrementally (``zlib`` with ``unused_data`` member chaining) and
+  the record walker consumes the buffer as it parses, so a task's
+  live set is ~one record + 1 MiB — not the several-GiB whole-file
+  decompression a ~1 GiB member-compressed Common Crawl WARC would
+  otherwise pin per concurrent task.
 - **Arrow-batched.** One ``mapInPandas`` stage, no per-row Python
   UDF; the wide body bytes enter Arrow once and are never shuffled
   (downstream consumers project before any exchange, same contract as
@@ -39,7 +46,7 @@ source rows.
 
 from __future__ import annotations
 
-import gzip
+import zlib
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -105,33 +112,121 @@ def render_warc(
     return _HDR + warc_headers + _CRLF + http + _CRLF + _CRLF
 
 
+_GZ_CHUNK = 1 << 20  # feed gzip members in 1 MiB slices
+
+
+def _iter_decompressed(blob: bytes) -> Iterator[bytes]:
+    """Stream-decompress a (possibly multi-member) gzip blob, yielding
+    bounded chunks — never the whole decompressed file at once. Common
+    Crawl WARCs are member-per-record compressed; ``gzip.decompress``
+    would materialize several GiB of heap per ~1 GiB file-grain task,
+    this keeps the live set to one record plus ``_GZ_CHUNK``. A
+    truncated/garbled trailing member stops the stream (the record
+    walker surfaces it as a trailing ``warc_errors`` row)."""
+    view = memoryview(blob)
+    pos, n = 0, len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        try:
+            while pos < n and not d.eof:
+                chunk = view[pos : pos + _GZ_CHUNK]
+                pos += len(chunk)
+                out = d.decompress(chunk)
+                if out:
+                    yield out
+        except zlib.error:
+            return  # corrupt member: emit what decoded, stop
+        if not d.eof:
+            return  # truncated final member
+        pos -= len(d.unused_data)  # unused bytes start the next member
+
+
 def _parse_file(blob: bytes) -> Iterator[tuple]:
     """Yield one tuple per record in one WARC file's bytes.
 
-    Walks by Content-Length; on any malformed header block, scans
-    forward to the next ``WARC/1.0\\r\\n`` and counts the resync in the
-    next yielded record's ``warc_errors``.
+    Walks by Content-Length over an INCREMENTALLY decompressed buffer
+    (memory stays bounded by one record + one gzip chunk, not the whole
+    decompressed file); on any malformed header block, scans forward to
+    the next ``WARC/1.0\\r\\n`` and counts the resync in the next
+    yielded record's ``warc_errors``. Errors at the tail of the file
+    (truncated final record, trailing junk) are surfaced as a final
+    all-NULL row carrying the error count rather than silently dropped.
     """
-    if blob[:2] == b"\x1f\x8b":
-        # gzip.decompress consumes ALL members — covers both
-        # whole-file gzip and Common Crawl's member-per-record form
-        blob = gzip.decompress(blob)
-    pos = 0
+    chunks: Iterator[bytes] = (
+        _iter_decompressed(blob) if blob[:2] == b"\x1f\x8b" else iter((blob,))
+    )
+    buf = bytearray()
+    base = 0  # absolute offset of buf[0] in the decompressed stream
+    eof = False
     errors = 0
-    n = len(blob)
-    while pos < n:
-        start = blob.find(_HDR, pos)
-        if start < 0:
+
+    def pull() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            buf.extend(next(chunks))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    def find(marker: bytes, from_: int) -> int:
+        scan = from_
+        while True:
+            idx = buf.find(marker, scan)
+            if idx >= 0:
+                return idx
+            scan = max(from_, len(buf) - len(marker) + 1)
+            if not pull():
+                return -1
+
+    def have(upto: int) -> bool:
+        while len(buf) < upto:
+            if not pull():
+                return False
+        return True
+
+    pos = 0  # cursor into buf
+    while True:
+        # locate next record header; compact consumed/junk prefix so a
+        # long non-WARC run cannot grow the buffer unboundedly
+        if pos > 0:
+            del buf[:pos]
+            base += pos
+            pos = 0
+        junked = False
+        while True:
+            start_rel = buf.find(_HDR)
+            if start_rel >= 0:
+                break
+            # keep only a marker-sized tail while scanning: a long
+            # non-WARC junk run must not accumulate in the buffer
+            if len(buf) >= len(_HDR):
+                cut = len(buf) - len(_HDR) + 1
+                del buf[:cut]
+                base += cut
+                junked = True
+            if not pull():
+                start_rel = -1
+                break
+        if start_rel < 0:
+            if len(buf) > 0 or junked:
+                errors += 1  # trailing junk after the last record
             break
-        if start != pos:
+        if start_rel != 0 or junked:
             errors += 1  # junk between records
-        cursor = start + len(_HDR)
-        hdr_end = blob.find(_CRLF + _CRLF, cursor)
+            del buf[:start_rel]
+            base += start_rel
+        start = base
+        cursor = len(_HDR)
+        hdr_end = find(_CRLF + _CRLF, cursor)
         if hdr_end < 0:
+            errors += 1  # truncated header block at EOF
             break
         headers: dict[str, str] = {}
         ok = True
-        for line in blob[cursor:hdr_end].split(_CRLF):
+        for line in bytes(buf[cursor:hdr_end]).split(_CRLF):
             k, sep, v = line.partition(b":")
             if not sep:
                 ok = False
@@ -142,16 +237,16 @@ def _parse_file(blob: bytes) -> Iterator[tuple]:
         length = headers.get("content-length", "")
         if not ok or not length.isdigit():
             errors += 1
-            pos = start + 1  # resync: search again past this header
+            pos = 1  # resync: search again past this header
             continue
         body_start = hdr_end + 4
         body_end = body_start + int(length)
-        if body_end > n:
-            errors += 1
+        if not have(body_end):
+            errors += 1  # truncated final record
             break
-        payload = blob[body_start:body_end]
+        payload = bytes(buf[body_start:body_end])
         pos = body_end
-        if blob[pos : pos + 4] == _CRLF + _CRLF:
+        if have(pos + 4) and bytes(buf[pos : pos + 4]) == _CRLF + _CRLF:
             pos += 4
 
         status: int | None = None
@@ -181,6 +276,11 @@ def _parse_file(blob: bytes) -> Iterator[tuple]:
             errors,
         )
         errors = 0
+    if errors:
+        # tail errors (truncated final record / header, trailing junk)
+        # have no following record to ride on — surface them as a final
+        # all-NULL row instead of silently dropping them
+        yield (None, None, None, None, None, None, 0, base, errors)
 
 
 def parse_warc(files: DataFrame, content_col: str = "content") -> DataFrame:
