@@ -125,3 +125,37 @@ def test_fetch_join_auto_selection(spark):
 
     forced = CrawlEngine(spark, None, big_budget, fetch_join="shuffle")
     assert forced._resolve_fetch_join(small_frontier) == "shuffle"
+
+
+def test_bloom_prefilter_node_in_seen_plan(spark):
+    """Plan-shape guard (VERDICT r3 #8): the 10^10-scale seen path =
+    bloom probe (definitely-new bypass) + exact LeftAnti confirm. If the
+    bloom probe expression or the anti-join ever fall out of the plan,
+    this fails before PLANS.md silently drifts."""
+    from web_scraper_spark.operators.seen import build_seen_bloom, filter_unseen
+
+    cand = spark.range(1000).select(
+        F.col("id").alias("url_hash"),
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+    )
+    seen = spark.range(0, 1000, 3).select(F.col("id").alias("url_hash"))
+    bloom = build_seen_bloom(seen, n_buckets=8, expected_items_per_bucket=1000)
+    out = filter_unseen(cand, seen, bloom_table=bloom, n_buckets=8)
+    plan = plan_of(out)
+    assert "LeftAnti" in plan              # exact confirm survives
+    assert "might_be_seen" in plan         # bloom probe is in the plan
+    assert "CartesianProduct" not in plan
+    # and the split is semantically exact (bloom has no false negatives)
+    exact = cand.join(seen, "url_hash", "left_anti")
+    assert out.count() == exact.count()
+
+
+def test_dump_plans_politeness_and_seen_are_fresh(spark):
+    """Regenerate the two load-bearing plans the same way
+    tools/dump_plans.py does and assert their optimization nodes are
+    present — a regression in the literal rank cap (WindowGroupLimit)
+    or the anti-join shape must fail CI, not just stale PLANS.md."""
+    pol = plan_of(REGISTRY["politeness_budget"][0](spark, SF))
+    assert "WindowGroupLimit" in pol and "Partial" in pol
+    seen = plan_of(REGISTRY["seen_antijoin"][0](spark, SF))
+    assert "LeftAnti" in seen

@@ -327,38 +327,46 @@ def q_registrable_domain(spark, sf_dir):
     """
     WITH cand AS (
       SELECT 'h' || (user_id % 4)::VARCHAR AS host,
-             '/' || event_type || '/' || event_id::VARCHAR AS path
+             '/' || event_type || '/' || event_id::VARCHAR
+               || CASE WHEN event_id % 3 = 0
+                       THEN '?page=' || event_id::VARCHAR ELSE '' END
+               AS target
       FROM events
     ),
     scored AS (
-      SELECT host, path,
+      SELECT host, target,
         CASE host
           WHEN 'h0' THEN GREATEST(
-            CASE WHEN path LIKE '/click%' THEN 6*2 ELSE -1 END,
-            CASE WHEN regexp_matches(path, '^/view/.*7$') THEN 9*2 ELSE -1 END,
-            CASE WHEN path LIKE '/click/1%' THEN 9*2+1 ELSE -1 END,
-            CASE WHEN regexp_matches(path, '^/view/.*7$') THEN 9*2+1 ELSE -1 END)
+            CASE WHEN target LIKE '/click%' THEN 6*2 ELSE -1 END,
+            CASE WHEN regexp_matches(target, '^/view/.*7$') THEN 9*2 ELSE -1 END,
+            CASE WHEN target LIKE '/click/1%' THEN 9*2+1 ELSE -1 END,
+            CASE WHEN regexp_matches(target, '^/view/.*7$') THEN 9*2+1 ELSE -1 END)
           WHEN 'h1' THEN GREATEST(
-            CASE WHEN regexp_matches(path, '^/.*u.*') THEN 4*2 ELSE -1 END,
-            CASE WHEN path LIKE '/signup/2%' THEN 10*2+1 ELSE -1 END)
-          WHEN 'h2' THEN
-            CASE WHEN path LIKE '/error/%' THEN 7*2 ELSE -1 END
+            CASE WHEN regexp_matches(target, '^/.*u.*') THEN 4*2 ELSE -1 END,
+            CASE WHEN target LIKE '/signup/2%' THEN 10*2+1 ELSE -1 END)
+          WHEN 'h2' THEN GREATEST(
+            CASE WHEN target LIKE '/error/%' THEN 7*2 ELSE -1 END,
+            CASE WHEN contains(target, '?') THEN 3*2 ELSE -1 END)
           WHEN 'h3' THEN GREATEST(
-            CASE WHEN path LIKE '/%' THEN 1*2 ELSE -1 END,
-            CASE WHEN path LIKE '/signup%' THEN 7*2+1 ELSE -1 END)
+            CASE WHEN target LIKE '/%' THEN 1*2 ELSE -1 END,
+            CASE WHEN target LIKE '/signup%' THEN 7*2+1 ELSE -1 END)
         END AS score
       FROM cand
     )
-    SELECT host, path, (score >= 0 AND score % 2 = 0) AS blocked
+    SELECT host, target, (score >= 0 AND score % 2 = 0) AS blocked
     FROM scored
     """,
 )
 def q_robots_wildcard(spark, sf_dir):
     """R9 full RFC 9309 matching — * / trailing-$ wildcards, Allow vs
-    Disallow longest-match precedence, Allow winning ties — through the
+    Disallow longest-match precedence, Allow winning ties — over the
+    RFC match target (path + '?query': every third URL carries a query
+    string, and h2's '/*?' rule must block exactly those) through the
     engine's compile-once broadcast rules table. The oracle replays the
     decision as explicit (2*spec + is_allow) max-scoring: the same
     longest-match algebra, independently encoded."""
+    from ..operators.robots_txt import robots_match_target
+
     ev = T(spark, sf_dir, "events")
     cand = ev.select(
         F.concat(F.lit("h"), (F.col("user_id") % 4).cast("string")).alias("host"),
@@ -369,21 +377,25 @@ def q_robots_wildcard(spark, sf_dir):
             F.col("event_type"),
             F.lit("/"),
             F.col("event_id").cast("string"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(F.lit("?page="), F.col("event_id").cast("string")),
+            ).otherwise(F.lit("")),
         ).alias("url"),
     )
     robots = spark.createDataFrame(
         [
             ("h0", ["/click", "/view/*7$"], ["/click/1*", "/view/*7$"], 30),
             ("h1", ["/*u*"], ["/signup/2*"], 30),
-            ("h2", ["/error/"], [], 30),
+            ("h2", ["/error/", "/*?"], [], 30),
             ("h3", ["/"], ["/signup"], 30),
         ],
         "host string, disallow array<string>, allow array<string>, crawl_delay_s int",
     )
     allowed, blocked = split_robots(cand, robots)
-    path = F.try_parse_url(F.col("url"), F.lit("PATH")).alias("path")
-    return allowed.select("host", path, F.lit(False).alias("blocked")).unionByName(
-        blocked.select("host", path, F.lit(True).alias("blocked"))
+    target = robots_match_target(F.col("url")).alias("target")
+    return allowed.select("host", target, F.lit(False).alias("blocked")).unionByName(
+        blocked.select("host", target, F.lit(True).alias("blocked"))
     )
 
 
