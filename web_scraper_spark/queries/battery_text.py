@@ -1268,6 +1268,71 @@ def q_multimodal_frames(spark, sf_dir):
     return frame_sample(docs, "data", "doc_id", frame_size=1024, max_frames=4)
 
 
+def _be_bytes(col: F.Column, n_bytes: int) -> F.Column:
+    """Big-endian fixed-width byte packing of a non-negative int Column
+    (hex → zero-pad → unhex), pure expressions — lets the battery
+    synthesize REAL binary image headers in-row."""
+    return F.unhex(F.lpad(F.hex(col), 2 * n_bytes, "0"))
+
+
+def _le2_bytes(col: F.Column) -> F.Column:
+    return F.concat(_be_bytes(col % 256, 1), _be_bytes((col / 256).cast("long"), 1))
+
+
+@q(
+    "image_header_decode",
+    # the engine synthesizes REAL PNG/GIF/JPEG header bytes in-row and
+    # decodes them back with parse_image_header (actual container-layout
+    # parsing, not the stub); the oracle states the expected inversion
+    # directly from the generator parameters
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'jpeg' END AS format,
+           ((doc_id % 640) + 1)::INT AS width,
+           ((doc_id % 480) + 1)::INT AS height,
+           8::INT AS bit_depth,
+           CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS channels
+    FROM documents
+    """,
+)
+def q_image_header_decode(spark, sf_dir):
+    """REAL image-header decode (no media libs, no stand-in): PNG IHDR,
+    GIF logical screen descriptor, and JPEG SOF0 headers are built as
+    genuine binary layouts from each doc_id and parsed back by the
+    Arrow ``decode_image_headers`` stage — the metadata tier (dims /
+    depth / channels) a 100 TB multimodal pipeline filters and routes
+    on before any pixel decode."""
+    from ..operators.multimodal import decode_image_headers
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 3
+    w = (F.col("doc_id") % 640 + 1).cast("long")
+    h = (F.col("doc_id") % 480 + 1).cast("long")
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"),
+        _be_bytes(w, 4),
+        _be_bytes(h, 4),
+        F.lit(b"\x08\x06\x00\x00\x00"),  # depth 8, RGBA, trailing IHDR
+    )
+    gif = F.concat(
+        F.lit(b"GIF89a"),
+        _le2_bytes(w),
+        _le2_bytes(h),
+        F.lit(b"\x70\x00\x00"),  # packed: color resolution 7 → depth 8
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8\xff\xc0\x00\x11\x08"),  # SOI, SOF0, len, prec 8
+        _be_bytes(h, 2),
+        _be_bytes(w, 2),
+        F.lit(b"\x03"),  # 3 components (YCbCr)
+    )
+    data = F.when(k == 0, png).when(k == 1, gif).otherwise(jpeg)
+    return decode_image_headers(
+        docs.select("doc_id", data.alias("data"))
+    ).select("doc_id", "format", "width", "height", "bit_depth", "channels")
+
+
 _IVF_COS = (
     "round(list_dot_product({a}, {b}) / greatest("
     "sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})),"
