@@ -117,8 +117,9 @@ _CHECK_FIRST = [
     "pricing_summary",
     "top_revenue_orders",
     "nation_volume",
-    # new in round 4 → needs its first driver check
+    # new in round 4 → need their first driver check
     "image_header_decode",
+    "content_extract",
     # operators changed in round 4 → need a fresh green row
     "robots_filter",
     "robots_wildcard",

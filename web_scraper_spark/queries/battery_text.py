@@ -1268,6 +1268,76 @@ def q_multimodal_frames(spark, sf_dir):
     return frame_sample(docs, "data", "doc_id", frame_size=1024, max_frames=4)
 
 
+@q(
+    "content_extract",
+    # the page is assembled natively around each document's text (two
+    # <p> slices + hand-written chrome whose classification is known by
+    # construction), so the oracle states the expected extraction
+    # directly: h1 promoted + both prose paragraphs (second iff it
+    # clears the 25-char gate); nav/footer/share-bar/short blocks drop.
+    """
+    WITH d AS (
+      SELECT doc_id,
+             trim(substr(text, 1, 80)) AS p1,
+             trim(substr(text, 81, 80)) AS p2
+      FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || doc_id::VARCHAR || chr(10) || p1
+             || CASE WHEN length(p2) >= 25 THEN chr(10) || p2 ELSE '' END
+             AS main_text,
+           (6 + CASE WHEN length(p2) > 0 THEN 1 ELSE 0 END)::INT AS n_blocks,
+           (2 + CASE WHEN length(p2) >= 25 THEN 1 ELSE 0 END)::INT
+             AS n_content_blocks,
+           (4 + length(doc_id::VARCHAR) + length(p1)
+             + CASE WHEN length(p2) >= 25 THEN length(p2) ELSE 0 END)::INT
+             AS content_chars,
+           (18 + 16 + 2 + 14 + 4 + length(doc_id::VARCHAR) + length(p1)
+             + length(p2))::INT AS total_chars
+    FROM d
+    """,
+)
+def q_content_extract(spark, sf_dir):
+    """Main-content extraction (jusText/Arc90-class boilerplate
+    removal) over pages assembled natively in-row: navigation, a share
+    link-farm, a footer, and a too-short block wrap two real prose
+    paragraphs and a heading. The Arrow ``extract_main_content`` stage
+    must keep exactly the heading (promotion rule) + qualifying prose
+    and report block statistics; the oracle states the expectation
+    directly from the template construction."""
+    from ..operators.content_extract import extract_main_content
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.substring("text", 1, 80)).alias("p1"),
+        F.trim(F.substring("text", 81, 80)).alias("p2"),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>D</title><style>p{x:1}</style></head><body>'
+            '<nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></nav>'
+            "<h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("p1"),
+        F.lit("</p><p>"),
+        F.col("p2"),
+        F.lit(
+            '</p><div><a href="/l1">like</a> <a href="/l2">share</a> '
+            '<a href="/l3">tweet</a></div><p>ok</p>'
+            '<footer>&copy; 2025 <a href="/p">Privacy</a></footer>'
+            "</body></html>"
+        ),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return extract_main_content(pages).select(
+        "doc_id", "main_text", "n_blocks", "n_content_blocks",
+        "content_chars", "total_chars",
+    )
+
+
 def _be_bytes(col: F.Column, n_bytes: int) -> F.Column:
     """Big-endian fixed-width byte packing of a non-negative int Column
     (hex → zero-pad → unhex), pure expressions — lets the battery
