@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from web_scraper_spark.queries import battery, battery_mmk, battery_text  # noqa: E402,F401  (populates REGISTRY)
+from web_scraper_spark.queries import battery, battery_mmk, battery_text, battery_web  # noqa: E402,F401  (populates REGISTRY)
 from web_scraper_spark.queries.battery import REGISTRY  # noqa: E402
 
 
@@ -120,6 +120,13 @@ _CHECK_FIRST = [
     # new in round 4 → need their first driver check
     "image_header_decode",
     "content_extract",
+    "redirect_resolve",
+    "canonical_collapse",
+    "anchor_topk",
+    "term_postings",
+    "cache_policy",
+    "url_classify",
+    "shard_balance",
     # operators changed in round 4 → need a fresh green row
     "robots_filter",
     "robots_wildcard",

@@ -1,0 +1,68 @@
+"""HTTP caching-header semantics for revisit scheduling.
+
+The reference re-fetches every page unconditionally on every tracker
+run (src/core/tracker/nausys_tracker.py fetch loop — no If-Modified-
+Since, no Cache-Control inspection). At crawl scale the origin tells
+you when a page is worth revisiting, and honoring it is both politeness
+and efficiency: a ``max-age`` directive or an ``ETag`` converts a full
+fetch into a 304 or skips it entirely.
+
+Pure native-Column parsers (regexp over the raw header string — no
+Python UDF), composing with the adaptive revisit scheduler
+(operators/revisit.py): ``cache_max_age_s`` provides the origin-
+declared floor for the change-rate-driven revisit interval, and
+``cache_directives`` gates which URLs may use conditional GETs.
+
+RFC 9111 subset: ``no-store``/``no-cache`` win over ``max-age``;
+``s-maxage`` is ignored (we are a private cache for revisit purposes);
+a missing/unparsable policy yields NULL max-age (scheduler falls back
+to its own estimate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["cache_max_age_s", "cache_directives", "next_fetch_after"]
+
+_MAX_AGE_RE = r"(?i)(?:^|[,\s])max-age\s*=\s*(\d+)"
+_NO_STORE_RE = r"(?i)(?:^|[,\s])no-store(?:$|[,\s])"
+_NO_CACHE_RE = r"(?i)(?:^|[,\s])no-cache(?:$|[,\s])"
+
+
+def cache_max_age_s(cache_control: Column) -> Column:
+    """Parsed ``max-age`` seconds, NULL when absent or overridden by
+    ``no-store``/``no-cache``."""
+    age = F.regexp_extract(cache_control, _MAX_AGE_RE, 1)
+    blocked = cache_control.rlike(_NO_STORE_RE) | cache_control.rlike(_NO_CACHE_RE)
+    return (
+        F.when(blocked | (age == ""), F.lit(None).cast("long"))
+        .otherwise(age.cast("long"))
+    )
+
+
+def cache_directives(cache_control: Column) -> Column:
+    """Coarse policy class: 'no-store' > 'no-cache' > 'max-age' > 'none'."""
+    return (
+        F.when(cache_control.rlike(_NO_STORE_RE), F.lit("no-store"))
+        .when(cache_control.rlike(_NO_CACHE_RE), F.lit("no-cache"))
+        .when(F.regexp_extract(cache_control, _MAX_AGE_RE, 1) != "", F.lit("max-age"))
+        .otherwise(F.lit("none"))
+    )
+
+
+def next_fetch_after(
+    fetch_ts: Column, cache_control: Column, default_s: int = 86400, cap_s: int = 2592000
+) -> Column:
+    """Earliest worthwhile refetch timestamp: fetch time + declared
+    max-age, clamped to [0, cap]; ``default_s`` when the origin gave no
+    usable policy. no-store/no-cache mean "always revalidate" -> 0."""
+    age = cache_max_age_s(cache_control)
+    policy = cache_directives(cache_control)
+    delay = (
+        F.when(policy.isin("no-store", "no-cache"), F.lit(0))
+        .when(age.isNotNull(), F.least(age, F.lit(cap_s)))
+        .otherwise(F.lit(default_s))
+    )
+    return F.timestamp_add("SECOND", delay.cast("int"), fetch_ts)

@@ -37,6 +37,7 @@ __all__ = [
     "canonicalize_url",
     "url_hash",
     "host_bucket",
+    "classify_url",
 ]
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
@@ -101,3 +102,39 @@ def host_bucket(host: Column, num_buckets: int = 1024) -> Column:
     operators.politeness for the salting story).
     """
     return F.pmod(F.xxhash64(host), F.lit(num_buckets)).cast("int")
+
+
+def classify_url(url: Column) -> Column:
+    """Coarse page-type class from URL shape alone — the pre-fetch
+    signal a frontier scheduler uses to prioritize (detail pages over
+    pagination churn) and to skip non-HTML assets without spending a
+    request. The reference hard-codes this knowledge in its per-site
+    templates (src/core/tracker/*_tracker.py builds search vs detail
+    URLs from constants); at corpus scale it must be derived from the
+    URL itself. Pure Column CASE over rlike — no Python, pushes into
+    whole-stage codegen.
+
+    Classes, first match wins:
+    - 'asset'      — static file extensions (images/css/js/fonts/media)
+    - 'search'     — a query string carrying q=/search=/keyword=
+    - 'pagination' — page=N params or /page/N path steps
+    - 'detail'     — a long numeric id (>=4 digits) in the last path step
+    - 'listing'    — everything else
+    """
+    path = F.lower(url_path(url))
+    query = F.lower(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")))
+    return (
+        F.when(
+            path.rlike(
+                r"\.(png|jpe?g|gif|webp|svg|ico|css|js|woff2?|ttf|mp[34]|webm|pdf|zip|gz)$"
+            ),
+            F.lit("asset"),
+        )
+        .when(query.rlike(r"(^|&)(q|query|search|keyword)="), F.lit("search"))
+        .when(
+            query.rlike(r"(^|&)(page|p|offset)=\d") | path.rlike(r"/page/\d+(/|$)"),
+            F.lit("pagination"),
+        )
+        .when(path.rlike(r"/[^/]*\d{4,}[^/]*$"), F.lit("detail"))
+        .otherwise(F.lit("listing"))
+    )

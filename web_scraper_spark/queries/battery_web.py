@@ -1,0 +1,288 @@
+"""Round-4 web-graph battery: redirect resolution, canonical collapse,
+anchor-text aggregation, inverted-index postings, HTTP cache policy,
+URL classification, and frontier shard balance.
+
+Same contract as battery.py: every entry pairs an engine query over the
+driver's parquet tables with a DuckDB oracle. Where the engine runs a
+real distributed algorithm (pointer-doubling redirect resolution), the
+oracle computes the answer by an INDEPENDENT method (closed form over
+the synthetic chain structure) so agreement actually verifies the
+algorithm, not a shared implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.http_headers import (
+    cache_directives,
+    cache_max_age_s,
+    next_fetch_after,
+)
+from ..functions.urls import classify_url
+from ..operators.anchors import top_anchor_texts
+from ..operators.postings import term_postings
+from ..operators.redirects import collapse_canonical, resolve_redirects
+from .battery import T, q
+
+# deterministic synthetic URL families (identical text on both engines)
+_R_URL = "'https://r.example.com/p/' || event_id"
+_C_URL = "'https://c.example.com/p/' || event_id"
+_T_DST = "'https://t.example.com/d/' || (event_id % 50)"
+
+
+def _r_url(col="event_id") -> F.Column:
+    return F.concat(F.lit("https://r.example.com/p/"), F.col(col).cast("string"))
+
+
+@q(
+    "redirect_resolve",
+    f"""
+    SELECT {_R_URL} AS url,
+           {_R_URL.replace('event_id', '(event_id - event_id % 5)')} AS final_url,
+           CAST(event_id % 5 AS INT) AS hops,
+           FALSE AS is_loop
+    FROM events
+    """,
+)
+def q_redirect_resolve(spark, sf_dir):
+    """Beyond-ref: redirect-chain resolution by pointer doubling
+    (operators/redirects.py). The synthetic edge table chains each
+    event to its predecessor within blocks of 5 (url(e) -> url(e-1)
+    unless e % 5 == 0), so the engine's log2-join resolution must land
+    every URL on its block head in e % 5 hops. The oracle states that
+    closed form directly — it never walks the chain — so a doubling
+    bug (missed hop, double-count, wrong terminal) breaks the hash."""
+    e = T(spark, sf_dir, "events")
+    edges = e.select(
+        _r_url().alias("url"),
+        F.when(
+            F.col("event_id") % 5 != 0,
+            F.concat(
+                F.lit("https://r.example.com/p/"),
+                (F.col("event_id") - 1).cast("string"),
+            ),
+        ).alias("redirect_to"),
+    )
+    return resolve_redirects(edges, max_hops=16)
+
+
+@q(
+    "canonical_collapse",
+    f"""
+    WITH pages AS (
+      SELECT {_C_URL} AS url,
+             CASE WHEN event_id % 4 <> 0
+                  THEN {_C_URL.replace('event_id', '(event_id - event_id % 4)')}
+             END AS canonical_url,
+             ts AS warc_ts
+      FROM events
+    ), g AS (
+      SELECT COALESCE(canonical_url, url) AS canonical, url, warc_ts FROM pages
+    )
+    SELECT canonical,
+           url AS kept_url,
+           CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_collapsed
+    FROM g
+    QUALIFY row_number() OVER (
+      PARTITION BY canonical ORDER BY warc_ts DESC, url ASC) = 1
+    """,
+)
+def q_canonical_collapse(spark, sf_dir):
+    """Beyond-ref: rel=canonical one-hop collapse
+    (operators/redirects.py collapse_canonical). Blocks of 4 declare
+    their block head canonical; the engine keeps the latest-crawled
+    member per group and counts the collapsed cardinality."""
+    e = T(spark, sf_dir, "events")
+    pages = e.select(
+        F.concat(F.lit("https://c.example.com/p/"), F.col("event_id").cast("string")).alias(
+            "url"
+        ),
+        F.when(
+            F.col("event_id") % 4 != 0,
+            F.concat(
+                F.lit("https://c.example.com/p/"),
+                (F.col("event_id") - (F.col("event_id") % 4)).cast("string"),
+            ),
+        ).alias("canonical_url"),
+        F.col("ts").alias("warc_ts"),
+    )
+    return collapse_canonical(pages).select("canonical", "kept_url", "n_collapsed")
+
+
+@q(
+    "anchor_topk",
+    f"""
+    WITH counts AS (
+      SELECT {_T_DST} AS dst,
+             lower(trim(event_type)) AS anchor,
+             CAST(COUNT(*) AS BIGINT) AS n_refs
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT dst, anchor, n_refs, CAST(rn AS INT) AS anchor_rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY dst ORDER BY n_refs DESC, anchor ASC) AS rn
+      FROM counts
+    )
+    WHERE rn <= 2
+    """,
+)
+def q_anchor_topk(spark, sf_dir):
+    """Beyond-ref: inbound anchor-text aggregation
+    (operators/anchors.py). event_type plays the anchor string; 50
+    synthetic targets; top-2 per target with deterministic ties."""
+    e = T(spark, sf_dir, "events")
+    links = e.select(
+        F.concat(
+            F.lit("https://t.example.com/d/"), (F.col("event_id") % 50).cast("string")
+        ).alias("dst"),
+        F.col("event_type").alias("anchor"),
+    )
+    return top_anchor_texts(links, k=2)
+
+
+@q(
+    "term_postings",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '[^A-Za-z]+')) AS raw
+      FROM documents
+    ), t AS (
+      SELECT doc_id, lower(raw) AS term FROM toks WHERE length(raw) >= 2
+    ), per_doc AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS coll_freq,
+           CAST(MAX(tf) AS BIGINT) AS max_tf
+    FROM per_doc GROUP BY term HAVING COUNT(*) >= 2
+    """,
+)
+def q_term_postings(spark, sf_dir):
+    """Beyond-ref: inverted-index posting statistics
+    (operators/postings.py) — two map-side-combinable aggregations,
+    vocabulary-sized shuffle. ASCII-alpha tokenization so both engines
+    lowercase identically (full-Unicode casing differs across engines
+    and belongs to textstats, not the index)."""
+    return term_postings(T(spark, sf_dir, "documents"), min_df=2, min_token_len=2)
+
+
+_CC_SQL = """CASE CAST(event_id % 7 AS INT)
+      WHEN 0 THEN 'no-store'
+      WHEN 1 THEN 'no-cache, max-age=300'
+      WHEN 2 THEN 'public, max-age=' || (event_id % 900)
+      WHEN 3 THEN 'public, max-age=3600'
+      WHEN 4 THEN 'private'
+      WHEN 5 THEN ''
+      ELSE 'max-age=0, must-revalidate' END"""
+
+
+@q(
+    "cache_policy",
+    f"""
+    WITH h AS (SELECT event_id, ts, {_CC_SQL} AS cc FROM events)
+    SELECT event_id,
+           CASE CAST(event_id % 7 AS INT)
+             WHEN 0 THEN 'no-store' WHEN 1 THEN 'no-cache'
+             WHEN 2 THEN 'max-age'  WHEN 3 THEN 'max-age'
+             WHEN 4 THEN 'none'     WHEN 5 THEN 'none'
+             ELSE 'max-age' END AS policy,
+           CASE CAST(event_id % 7 AS INT)
+             WHEN 2 THEN CAST(event_id % 900 AS BIGINT)
+             WHEN 3 THEN CAST(3600 AS BIGINT)
+             WHEN 6 THEN CAST(0 AS BIGINT)
+           END AS max_age_s,
+           strftime(ts + INTERVAL 1 SECOND * (
+             CASE CAST(event_id % 7 AS INT)
+               WHEN 0 THEN 0 WHEN 1 THEN 0
+               WHEN 2 THEN event_id % 900
+               WHEN 3 THEN 3600
+               WHEN 4 THEN 86400 WHEN 5 THEN 86400
+               ELSE 0 END), '%Y-%m-%d %H:%M:%S') AS next_fetch
+    FROM h
+    """,
+)
+def q_cache_policy(spark, sf_dir):
+    """Beyond-ref: RFC 9111 cache-policy parsing for revisit scheduling
+    (functions/http_headers.py). The engine parses synthesized
+    Cache-Control strings with its real regexes; the oracle derives
+    the expected policy/max-age/next-fetch from the generator residue
+    classes in closed form — regex bugs (directive precedence,
+    substring false-positives) surface as hash breaks."""
+    e = T(spark, sf_dir, "events")
+    m = F.col("event_id") % 7
+    cc = (
+        F.when(m == 0, F.lit("no-store"))
+        .when(m == 1, F.lit("no-cache, max-age=300"))
+        .when(m == 2, F.concat(F.lit("public, max-age="), (F.col("event_id") % 900).cast("string")))
+        .when(m == 3, F.lit("public, max-age=3600"))
+        .when(m == 4, F.lit("private"))
+        .when(m == 5, F.lit(""))
+        .otherwise(F.lit("max-age=0, must-revalidate"))
+    )
+    h = e.select("event_id", "ts", cc.alias("cc"))
+    return h.select(
+        "event_id",
+        cache_directives(F.col("cc")).alias("policy"),
+        cache_max_age_s(F.col("cc")).alias("max_age_s"),
+        F.date_format(
+            next_fetch_after(F.col("ts"), F.col("cc")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("next_fetch"),
+    )
+
+
+@q(
+    "url_classify",
+    """
+    SELECT event_id,
+           CASE CAST(event_id % 6 AS INT)
+             WHEN 0 THEN 'asset' WHEN 1 THEN 'search' WHEN 2 THEN 'pagination'
+             WHEN 3 THEN 'detail' WHEN 4 THEN 'listing' ELSE 'pagination'
+           END AS page_class
+    FROM events
+    """,
+)
+def q_url_classify(spark, sf_dir):
+    """Beyond-ref: pre-fetch page-type classification from URL shape
+    (functions/urls.py classify_url). Six synthetic URL families, one
+    per generator residue; the engine classifies with its real regex
+    CASE, the oracle states the expected class directly."""
+    e = T(spark, sf_dir, "events")
+    host = F.concat(F.lit("https://s"), (F.col("user_id") % 9).cast("string"), F.lit(".example.com"))
+    m = F.col("event_id") % 6
+    url = (
+        F.when(m == 0, F.concat(host, F.lit("/img/"), F.col("event_id").cast("string"), F.lit(".jpg")))
+        .when(m == 1, F.concat(host, F.lit("/find?q=boat"), F.col("event_id").cast("string")))
+        .when(m == 2, F.concat(host, F.lit("/fleet/page/"), ((F.col("event_id") % 9) + 1).cast("string")))
+        .when(m == 3, F.concat(host, F.lit("/yacht/"), (F.lit(10000) + F.col("event_id")).cast("string")))
+        .when(m == 4, F.concat(host, F.lit("/fleet/charter")))
+        .otherwise(F.concat(host, F.lit("/list?offset="), (F.col("event_id") % 40).cast("string")))
+    )
+    return e.select("event_id", classify_url(url).alias("page_class"))
+
+
+@q(
+    "shard_balance",
+    f"""
+    SELECT substr(md5({_R_URL}), 1, 2) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM events GROUP BY 1
+    """,
+)
+def q_shard_balance(spark, sf_dir):
+    """Beyond-ref: frontier shard-occupancy diagnostic — the balance
+    check a 1000-executor deployment runs before choosing partition
+    counts. md5-prefix sharding (cross-engine-stable hash per
+    battery.py's hashing convention); uniform occupancy across 256
+    shards is what makes the politeness/fetch repartition safe."""
+    e = T(spark, sf_dir, "events")
+    url = _r_url()
+    return (
+        e.select(F.substring(F.md5(url), 1, 2).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
