@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from web_scraper_spark.queries import battery, battery_mmk, battery_text, battery_web  # noqa: E402,F401  (populates REGISTRY)
+from web_scraper_spark.queries import (  # noqa: E402,F401  (populates REGISTRY)
+    battery,
+    battery_mmk,
+    battery_sketches,
+    battery_text,
+    battery_web,
+)
 from web_scraper_spark.queries.battery import REGISTRY  # noqa: E402
 
 
@@ -127,6 +133,10 @@ _CHECK_FIRST = [
     "cache_policy",
     "url_classify",
     "shard_balance",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "hits_scores",
+    "bm25_topk",
     # operators changed in round 4 → need a fresh green row
     "robots_filter",
     "robots_wildcard",

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "host_edges",
     "pagerank",
+    "hits",
     "host_stats",
     "host_priority",
     "adaptive_crawl_delay",
@@ -131,6 +132,79 @@ def pagerank(
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    round_to: int | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over ``(src, dst,
+    weight)`` — the complementary centrality to :func:`pagerank` for
+    crawl scheduling: authority ranks *content* hosts (where to spend
+    fetch budget), hub ranks *directory* hosts (where outlink discovery
+    pays off).
+
+    Mutual power iteration, two shuffles per iteration (both over the
+    HOST graph, never the page corpus)::
+
+        a'(v) = sum_{u->v} w(u,v) * h(u)     then L2-normalize
+        h'(u) = sum_{u->v} w(u,v) * a'(v)    then L2-normalize
+
+    The per-iteration L2 norms are 1-row scalars. ``round_to`` rounds
+    the final scores (oracle parity contract, same as pagerank).
+
+    Returns ``(node, authority, hub)``.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for i in range(n_iter):
+        if i > 0 and i % checkpoint_every == 0:
+            hub = hub.localCheckpoint(eager=True)
+        a_raw = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("weight") * F.col("hub")).alias("a_raw"))
+        )
+        auth = nodes.join(a_raw, nodes.node == a_raw.dst, "left").select(
+            "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        )
+        a_norm = auth.agg(
+            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw")))
+        ).first()[0]
+        auth = auth.select(
+            "node", (F.col("a_raw") / F.lit(a_norm)).alias("authority")
+        )
+        h_raw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum(F.col("weight") * F.col("authority")).alias("h_raw"))
+        )
+        hub = nodes.join(h_raw, nodes.node == h_raw.src, "left").select(
+            "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+        )
+        h_norm = hub.agg(
+            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw")))
+        ).first()[0]
+        hub = hub.select(
+            "node", (F.col("h_raw") / F.lit(h_norm)).alias("hub")
+        )
+    out = auth.join(hub, "node")
+    if round_to is not None:
+        out = out.select(
+            "node",
+            F.round("authority", round_to).alias("authority"),
+            F.round("hub", round_to).alias("hub"),
+        )
+    nodes.unpersist()
+    return out
 
 
 def host_stats(fetch_log: DataFrame) -> DataFrame:
