@@ -137,6 +137,7 @@ _CHECK_FIRST = [
     "cms_heavy_hitters",
     "hits_scores",
     "bm25_topk",
+    "robots_sitemap_discovery",
     # operators changed in round 4 → need a fresh green row
     "robots_filter",
     "robots_wildcard",

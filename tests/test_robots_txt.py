@@ -232,3 +232,35 @@ def test_specificity_counts_octets_not_characters(spark):
     # ASCII control: same shape, same octet/char length → tie → Allow
     assert decide(["/a"], ["/*"], "/ax") is False
     assert robots_blocked("/ax", ["/a"], ["/*"]) is False
+
+
+def test_sitemap_records_are_group_independent(spark):
+    """RFC 9309 §2.3: Sitemap lines apply regardless of the user-agent
+    group they sit inside; matching is case-insensitive, comments are
+    stripped, relative values are dropped, duplicates collapse."""
+    from web_scraper_spark.operators.robots_txt import robots_sitemaps
+
+    txt = (
+        "User-agent: googlebot\n"
+        "Disallow: /g\n"
+        "Sitemap: https://a.com/inside-foreign-group.xml\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "sitemap:https://a.com/news.xml   # comment\n"
+        "SITEMAP:  https://a.com/a.xml\r\n"
+        "Sitemap: /relative.xml\n"
+        "Sitemap: ftp://a.com/wrong-scheme.xml\n"
+        "Sitemap: https://a.com/news.xml\n"
+    )
+    df = spark.createDataFrame([("a.com", txt), ("b.com", "User-agent: *\nDisallow:\n")],
+                               ["host", "robots_txt"])
+    got = {
+        (r["host"], r["sitemap_url"])
+        for r in robots_sitemaps(df).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/inside-foreign-group.xml"),
+        ("a.com", "https://a.com/news.xml"),
+        ("a.com", "https://a.com/a.xml"),
+    }

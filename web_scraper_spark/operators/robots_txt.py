@@ -44,6 +44,7 @@ __all__ = [
     "compile_rule_patterns",
     "robots_blocked_expr",
     "robots_match_target",
+    "robots_sitemaps",
 ]
 
 
@@ -273,3 +274,38 @@ def robots_blocked_expr(path: Column, rules: Column) -> Column:
     return F.when(rules.isNull(), F.lit(False)).otherwise(
         (best["spec"] >= 0) & (best["is_allow"] == 0)
     )
+
+
+def robots_sitemaps(
+    df: DataFrame, txt_col: str = "robots_txt", host_col: str = "host"
+) -> DataFrame:
+    """Extract ``Sitemap:`` records → ``(host, sitemap_url)``.
+
+    Per RFC 9309 §2.3 / sitemaps.org, ``Sitemap`` lines are
+    group-INDEPENDENT records: they apply regardless of any
+    ``User-agent`` group they appear inside, so extraction ignores
+    group scoping entirely (unlike Allow/Disallow above). Matching is
+    case-insensitive, inline ``#`` comments are stripped, and values
+    must be absolute http(s) URLs (the sitemaps.org contract — a
+    relative value is a publisher bug and is dropped rather than
+    guessed at).
+
+    The output feeds ``operators/sitemap.py`` ingestion: discovered
+    sitemap URLs enter the frontier like any other fetch task. Pure
+    Columns — one in-row transform chain, explode only the (few)
+    matched lines; the robots table is hosts-sized, never page-sized.
+    """
+    clean = F.transform(
+        _lines(F.col(txt_col)),
+        lambda l: F.trim(F.regexp_replace(l, r"#.*$", "")),
+    )
+    urls = F.filter(
+        F.transform(
+            F.filter(clean, lambda l: F.lower(l).rlike(r"^sitemap\s*:")),
+            lambda l: F.trim(F.regexp_replace(l, r"(?i)^sitemap\s*:", "")),
+        ),
+        lambda u: u.rlike(r"^https?://"),
+    )
+    return df.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+    ).distinct()

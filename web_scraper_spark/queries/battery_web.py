@@ -286,3 +286,82 @@ def q_shard_balance(spark, sf_dir):
         .groupBy("shard")
         .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Sitemap records (RFC 9309 §2.3 / sitemaps.org)
+# ---------------------------------------------------------------------------
+
+# one robots.txt per synthetic host, identical text on both engines:
+# mixed-case directives, inline comment, CRLF line, a duplicate record,
+# and an (invalid) relative value that must be dropped
+_ROBOTS_TXT_FRAG = """
+  'User-agent: *' || chr(10)
+  || 'Disallow: /private' || chr(10)
+  || CASE WHEN hid % 3 = 0
+     THEN 'Sitemap: https://h' || CAST(hid AS STRING)
+          || '.example.com/sitemap.xml' || chr(10) ELSE '' END
+  || CASE WHEN hid % 4 = 0
+     THEN 'sitemap:https://h' || CAST(hid AS STRING)
+          || '.example.com/news.xml   # index of the news section'
+          || chr(10) ELSE '' END
+  || CASE WHEN hid % 5 = 0
+     THEN 'Sitemap: /relative.xml' || chr(10) ELSE '' END
+  || CASE WHEN hid % 6 = 0
+     THEN 'SITEMAP:  https://h' || CAST(hid AS STRING)
+          || '.example.com/a.xml' || chr(13) || chr(10) ELSE '' END
+  || CASE WHEN hid % 3 = 0
+     THEN 'Sitemap: https://h' || CAST(hid AS STRING)
+          || '.example.com/sitemap.xml' || chr(10) ELSE '' END
+  || 'Disallow: /tmp'
+"""
+
+
+@q(
+    "robots_sitemap_discovery",
+    f"""
+    WITH hosts AS (
+      SELECT DISTINCT CAST(event_id % 24 AS INT) AS hid FROM events
+    ),
+    robots AS (
+      SELECT 'h' || CAST(hid AS STRING) AS host,
+             {_ROBOTS_TXT_FRAG} AS robots_txt
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host,
+             trim(regexp_replace(
+               unnest(string_split_regex(robots_txt, '\\r?\\n')),
+               '#.*$', '')) AS l
+      FROM robots
+    ),
+    vals AS (
+      SELECT host,
+             trim(regexp_replace(l, '(?i)^sitemap\\s*:', '')) AS sitemap_url
+      FROM lines WHERE regexp_matches(lower(l), '^sitemap\\s*:')
+    )
+    SELECT DISTINCT host, sitemap_url FROM vals
+    WHERE regexp_matches(sitemap_url, '^https?://')
+    """,
+)
+def q_robots_sitemap_discovery(spark, sf_dir):
+    """Beyond-ref: ``Sitemap:`` record extraction from robots.txt
+    (operators/robots_txt.py:robots_sitemaps) — the discovery chain's
+    first link (robots -> sitemap ingestion -> frontier). Sitemap
+    records are group-INDEPENDENT per RFC 9309 §2.3, matched
+    case-insensitively with inline comments stripped; relative values
+    are dropped (sitemaps.org requires absolute URLs), duplicates
+    collapse. The oracle re-extracts from the identical synthetic
+    text with an independent SQL line-walk."""
+    from ..operators.robots_txt import robots_sitemaps
+
+    ev = T(spark, sf_dir, "events")
+    robots = (
+        ev.select((F.col("event_id") % 24).cast("int").alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+            F.expr(_ROBOTS_TXT_FRAG).alias("robots_txt"),
+        )
+    )
+    return robots_sitemaps(robots)
