@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from web_scraper_spark.queries import (  # noqa: E402,F401  (populates REGISTRY)
     battery,
     battery_mmk,
+    battery_pipeline,
     battery_sketches,
     battery_text,
     battery_web,
@@ -143,6 +144,11 @@ _CHECK_FIRST = [
     "robots_wildcard",
     "politeness_budget",
     "global_budget",
+    # new in round 4 (second batch) → need their first driver check
+    "session_windows",
+    "bigram_lm_score",
+    "link_reciprocity",
+    "semdedup_prune",
     # sole signal for their §2 op, green r3, kept inside the window
     "seen_antijoin",
     "frontier_merge",
