@@ -149,6 +149,8 @@ _CHECK_FIRST = [
     "bigram_lm_score",
     "link_reciprocity",
     "semdedup_prune",
+    "doc_chunk",
+    "soft404_detect",
     # sole signal for their §2 op, green r3, kept inside the window
     "seen_antijoin",
     "frontier_merge",

@@ -74,6 +74,23 @@ HEADLINE = [
     "top_revenue_orders",
     "nation_volume",
     "events_hour_window",
+    # round-4 operators
+    "image_header_decode",
+    "content_extract",
+    "redirect_resolve",
+    "canonical_collapse",
+    "anchor_topk",
+    "term_postings",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "hits_scores",
+    "bm25_topk",
+    "session_windows",
+    "bigram_lm_score",
+    "link_reciprocity",
+    "semdedup_prune",
+    "doc_chunk",
+    "soft404_detect",
 ]
 
 

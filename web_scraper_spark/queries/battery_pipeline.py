@@ -14,10 +14,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.chunking import chunk_documents
 from ..operators.linkspam import reciprocity_stats
 from ..operators.lm_words import score_bigram_lm, train_bigram_lm
 from ..operators.semdedup import semdedup_prune
 from ..operators.sessions import sessionize
+from ..operators.soft404 import detect_soft404
 from .battery import T, q
 
 # ---------------------------------------------------------------------------
@@ -216,3 +218,118 @@ def q_semdedup_prune(spark, sf_dir):
     )
     corpus = emb.unionByName(dups)
     return semdedup_prune(corpus, tau=0.9, n_cells=8)
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking — in-row sequence/posexplode vs range/unnest oracle
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_chunk",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+      WHERE trim(text) <> ''
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, len(toks), 24)) AS start
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS INT) AS chunk_id,
+           CAST(start AS INT) AS chunk_start,
+           CAST(least(32, n - start) AS INT) AS chunk_len,
+           array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_doc_chunk(spark, sf_dir):
+    """Token-window chunking (operators/chunking.py): 32-token windows
+    with 8-token overlap (stride 24) over the documents table — the
+    shard-preparation step between corpus cleaning and sequence
+    packing. Engine does split -> sequence(0, n-1, 24) -> posexplode
+    in-row (zero shuffles); the oracle regenerates window starts with
+    DuckDB's range()/unnest and slices the token list independently,
+    so an off-by-one in start/stride/clamping breaks the hash."""
+    docs = T(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection — window template-count vs OVER-partition oracle
+# ---------------------------------------------------------------------------
+
+_S404_HOST = "'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'"
+_S404_BODY = """CASE WHEN doc_id % 7 = 0
+        THEN 'Sorry, this page could not be found. Error 404.'
+        WHEN doc_id % 11 = 3 THEN 'gone away'
+        WHEN doc_id % 11 = 5 THEN 'error 404'
+        ELSE text END"""
+
+
+@q(
+    "soft404_detect",
+    rf"""
+    WITH p AS (
+      SELECT {_S404_HOST} AS host,
+             'https://' || {_S404_HOST} || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+             {_S404_BODY} AS text
+      FROM documents
+    ), s AS (
+      SELECT host, url,
+             regexp_matches(lower(trim(text)),
+               '(page not found|404|not be found|no longer available|does not exist|been removed|been deleted)')
+               AS has_phrase,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END) < 15
+               AS tiny,
+             count(*) OVER (PARTITION BY host, lower(trim(text))) AS tc
+      FROM p
+    )
+    SELECT host, url,
+           has_phrase AS has_error_phrase,
+           tiny AS is_tiny,
+           (tc >= 4 AND has_phrase) AS is_error_template,
+           CAST(CASE WHEN has_phrase THEN 2 ELSE 0 END
+              + CASE WHEN tiny THEN 1 ELSE 0 END
+              + CASE WHEN tc >= 4 AND has_phrase THEN 2 ELSE 0 END AS INT)
+             AS soft404_score,
+           (CASE WHEN has_phrase THEN 2 ELSE 0 END
+              + CASE WHEN tiny THEN 1 ELSE 0 END
+              + CASE WHEN tc >= 4 AND has_phrase THEN 2 ELSE 0 END) >= 3
+             AS is_soft404
+    FROM s
+    """,
+)
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 detection (operators/soft404.py, Bar-Yossef WWW'04
+    signals): documents become pages on 20 synthetic hosts; every
+    doc_id % 7 == 0 page serves the host's catch-all error body
+    (template counts land on 3 or 4 per host, straddling the
+    min_template_pages=4 boundary), % 11 == 3 is tiny-but-clean
+    (score 1, must NOT flag), % 11 == 5 is tiny+phrase (score 3,
+    must flag without the template signal). Oracle recomputes the
+    template count by OVER (PARTITION BY host, body) on raw text —
+    the engine windows on xxhash64(body) — so they agree only if the
+    hash-keyed shuffle preserves exact body identity."""
+    docs = T(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example.com")
+    )
+    pages = docs.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("Sorry, this page could not be found. Error 404."),
+        )
+        .when(F.col("doc_id") % 11 == 3, F.lit("gone away"))
+        .when(F.col("doc_id") % 11 == 5, F.lit("error 404"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return detect_soft404(pages, min_template_pages=4).drop("text")
