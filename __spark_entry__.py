@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from web_scraper_spark.queries import (  # noqa: E402,F401  (populates REGISTRY)
     battery,
+    battery_filters,
     battery_mmk,
     battery_pipeline,
     battery_sketches,
@@ -121,9 +122,6 @@ _CHECK_FIRST = [
     "multimodal_decode",
     "multimodal_frames",
     "events_hour_window",
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_volume",
     # new in round 4 → need their first driver check
     "image_header_decode",
     "content_extract",
@@ -139,11 +137,11 @@ _CHECK_FIRST = [
     "hits_scores",
     "bm25_topk",
     "robots_sitemap_discovery",
-    # operators changed in round 4 → need a fresh green row
+    # operators changed in round 4 (robots path+query target, octet
+    # specificity, domain-grain budget) → need a fresh green row
     "robots_filter",
     "robots_wildcard",
     "politeness_budget",
-    "global_budget",
     # new in round 4 (second batch) → need their first driver check
     "session_windows",
     "bigram_lm_score",
@@ -151,7 +149,18 @@ _CHECK_FIRST = [
     "semdedup_prune",
     "doc_chunk",
     "soft404_detect",
-    # sole signal for their §2 op, green r3, kept inside the window
+    # new in round 4 (third batch) → need their first driver check
+    "dust_rules",
+    "surt_cdx",
+    "focus_scores",
+    "c4_filters",
+    "gopher_filters",
+    # ---- window boundary (~50): everything below holds an
+    # unchanged-code green row from r2/r3 (COVERAGE.md ledger) ----
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_volume",
+    "global_budget",
     "seen_antijoin",
     "frontier_merge",
     "extract_adversarial",

@@ -91,6 +91,12 @@ HEADLINE = [
     "semdedup_prune",
     "doc_chunk",
     "soft404_detect",
+    # round-4 operators (second batch)
+    "dust_rules",
+    "surt_cdx",
+    "focus_scores",
+    "c4_filters",
+    "gopher_filters",
 ]
 
 

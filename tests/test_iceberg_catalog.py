@@ -102,3 +102,78 @@ def test_interface_parity_with_parquet_catalog():
     for m in contract:
         assert callable(getattr(ParquetSnapshotCatalog, m, None)), m
         assert callable(getattr(IcebergCatalog, m, None)), m
+
+
+def test_engine_contract_sql_builders(ice):
+    """Round-manifest + log-retention surface added for full CrawlEngine
+    drop-in (plans/rounds.py calls these six beyond the storage core)."""
+    assert (
+        ice.log_round_ids_sql("fetch_log")
+        == "SELECT DISTINCT round_id FROM crawl.web.fetch_log "
+        "ORDER BY round_id"
+    )
+    assert (
+        ice.drop_log_partitions_sql("fetch_log", 4)
+        == "DELETE FROM crawl.web.fetch_log WHERE round_id <= 4"
+    )
+    for m in (
+        "versions",
+        "commit_round",
+        "round_committed",
+        "read_round_manifest",
+        "last_committed_round",
+        "log_round_ids",
+        "drop_log_partitions",
+        "log_exists",
+    ):
+        assert callable(getattr(IcebergCatalog, m, None)), m
+    # jar-less sandbox: execution wrappers fail loudly, never silently
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        ice.commit_round(1, {"round_id": 1})
+
+
+def _find_iceberg_jar():
+    import glob
+    import os
+
+    cand = os.environ.get("ICEBERG_JAR")
+    if cand and os.path.exists(cand):
+        return cand
+    pats = [
+        os.path.expanduser("~/.ivy2/jars/*iceberg-spark-runtime*.jar"),
+        "/opt/spark/jars/*iceberg-spark-runtime*.jar",
+        "/usr/local/lib/*iceberg-spark-runtime*.jar",
+    ]
+    for p in pats:
+        hits = glob.glob(p)
+        if hits:
+            return hits[0]
+    return None
+
+
+@pytest.mark.skipif(
+    _find_iceberg_jar() is None,
+    reason="iceberg-spark-runtime jar not obtainable offline in this "
+    "sandbox (no ivy cache, no maven access) — see COVERAGE.md",
+)
+def test_executed_round_with_jar():
+    """VERDICT r3 #6: one executed CrawlEngine round against a local
+    Iceberg warehouse (MERGE INTO frontier, per-round tags, time-travel
+    resume), run in a subprocess so the jar-configured SparkSession does
+    not collide with the suite's shared JVM."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, ICEBERG_JAR=_find_iceberg_jar())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "iceberg_smoke.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=repo,
+        timeout=1200,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "ICEBERG_SMOKE_OK" in out.stdout

@@ -61,7 +61,7 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     round_to: int | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weighted PageRank over ``(src, dst, weight)`` — power iteration,
     one shuffle per iteration, dangling mass redistributed uniformly::
@@ -99,10 +99,15 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(n_iter):
         if i > 0 and i % checkpoint_every == 0:
-            # break lineage: without this the plan deepens by one join
-            # per iteration and analysis/optimization cost grows
-            # quadratically in n_iter (the standard iterative-Spark
-            # trap). localCheckpoint materializes to executor storage —
+            # Materialize + break lineage every iteration (host-grain
+            # rows: tiny at any corpus scale). Two reasons: (a) ranks
+            # is consumed TWICE per iteration — the dangling-mass
+            # scalar job and the contrib join — so an unmaterialized
+            # lineage is recomputed 2× per level, i.e. 2^k between
+            # checkpoints; (b) the plan otherwise deepens by one join
+            # per iteration and analysis cost grows quadratically in
+            # n_iter (the standard iterative-Spark trap).
+            # localCheckpoint materializes to executor storage —
             # re-derivable state, so the durability trade is free.
             ranks = ranks.localCheckpoint(eager=True)
         dangling_mass = (
@@ -138,7 +143,6 @@ def hits(
     edges: DataFrame,
     n_iter: int = 3,
     round_to: int | None = None,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """HITS hubs/authorities (Kleinberg 1999) over ``(src, dst,
     weight)`` — the complementary centrality to :func:`pagerank` for
@@ -152,8 +156,13 @@ def hits(
         a'(v) = sum_{u->v} w(u,v) * h(u)     then L2-normalize
         h'(u) = sum_{u->v} w(u,v) * a'(v)    then L2-normalize
 
-    The per-iteration L2 norms are 1-row scalars. ``round_to`` rounds
-    the final scores (oracle parity contract, same as pagerank).
+    The per-iteration L2 norms are 1-row scalars. Each raw score frame
+    is eagerly localCheckpointed BEFORE its norm job: the frame is
+    consumed twice (the scalar norm + the next join), so skipping the
+    materialization recomputes the whole preceding lineage 2× per
+    half-iteration — exponential in n_iter. Host-grain rows, so the
+    materialization is metadata-cheap at any corpus scale. ``round_to``
+    rounds the final scores (oracle parity contract, same as pagerank).
 
     Returns ``(node, authority, hub)``.
     """
@@ -166,15 +175,16 @@ def hits(
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
     for i in range(n_iter):
-        if i > 0 and i % checkpoint_every == 0:
-            hub = hub.localCheckpoint(eager=True)
-        a_raw = (
-            edges.join(hub, edges.src == hub.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("weight") * F.col("hub")).alias("a_raw"))
-        )
-        auth = nodes.join(a_raw, nodes.node == a_raw.dst, "left").select(
-            "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        auth = (
+            nodes.join(
+                edges.join(hub, edges.src == hub.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("weight") * F.col("hub")).alias("a_raw")),
+                nodes.node == F.col("dst"),
+                "left",
+            )
+            .select("node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+            .localCheckpoint(eager=True)
         )
         a_norm = auth.agg(
             F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw")))
@@ -182,13 +192,18 @@ def hits(
         auth = auth.select(
             "node", (F.col("a_raw") / F.lit(a_norm)).alias("authority")
         )
-        h_raw = (
-            edges.join(auth, edges.dst == auth.node)
-            .groupBy("src")
-            .agg(F.sum(F.col("weight") * F.col("authority")).alias("h_raw"))
-        )
-        hub = nodes.join(h_raw, nodes.node == h_raw.src, "left").select(
-            "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+        hub = (
+            nodes.join(
+                edges.join(auth, edges.dst == auth.node)
+                .groupBy("src")
+                .agg(
+                    F.sum(F.col("weight") * F.col("authority")).alias("h_raw")
+                ),
+                nodes.node == F.col("src"),
+                "left",
+            )
+            .select("node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
+            .localCheckpoint(eager=True)
         )
         h_norm = hub.agg(
             F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw")))

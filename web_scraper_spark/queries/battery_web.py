@@ -365,3 +365,174 @@ def q_robots_sitemap_discovery(spark, sf_dir):
         )
     )
     return robots_sitemaps(robots)
+
+
+@q(
+    "dust_rules",
+    """
+    SELECT '' AS alpha, 'www.' AS beta,
+           count(*)::BIGINT AS support
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT '', '?utm=1', count(*)::BIGINT
+    FROM events WHERE event_id % 3 = 1
+    UNION ALL
+    SELECT '', 'index.html', count(*)::BIGINT
+    FROM events WHERE event_id % 3 = 2
+    """,
+)
+def q_dust_rules(spark, sf_dir):
+    """Beyond-ref: DUST rule mining (operators/dust.py — Bar-Yossef et
+    al. WWW'07). Each event contributes one two-alias content cluster
+    in one of three families (www. prefix / ?utm=1 param /
+    index.html suffix); the engine must pair same-fingerprint URLs,
+    factor each pair into prefix·α/β·suffix with the non-overlap
+    clamp, and count support. The oracle states the expected rule
+    table in closed form (one rule per family, support = family
+    cardinality) — it never runs the factoring, so a pairing or
+    LCP/LCS bug breaks the hash."""
+    from ..operators.dust import mine_dust_rules
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    fam = F.col("event_id") % 3
+    eid = F.col("event_id").cast("string")
+    url_a = (
+        F.when(fam == 0, F.concat(F.lit("https://d.example.com/p/"), eid))
+        .when(fam == 1, F.concat(F.lit("https://d.example.com/a/"), eid))
+        .otherwise(
+            F.concat(F.lit("https://d.example.com/x/"), eid, F.lit("/"))
+        )
+    )
+    url_b = (
+        F.when(
+            fam == 0,
+            F.concat(F.lit("https://www.d.example.com/p/"), eid),
+        )
+        .when(
+            fam == 1,
+            F.concat(F.lit("https://d.example.com/a/"), eid, F.lit("?utm=1")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://d.example.com/x/"), eid, F.lit("/index.html")
+            )
+        )
+    )
+    fp = F.concat(F.lit("c"), eid)
+    pages = e.select(fp.alias("content_hash"), url_a.alias("url")).unionByName(
+        e.select(fp.alias("content_hash"), url_b.alias("url"))
+    )
+    return mine_dust_rules(pages, min_support=5)
+
+
+@q(
+    "surt_cdx",
+    """
+    WITH base AS (
+      SELECT event_id,
+             'h' || (event_id % 24)::VARCHAR || '.example.' ||
+               CASE WHEN event_id % 2 = 0 THEN 'com' ELSE 'co.uk' END AS host,
+             CASE WHEN event_id % 5 = 0 THEN 'www.' ELSE '' END AS www,
+             '/P/' || event_id::VARCHAR AS path,
+             CASE WHEN event_id % 4 = 0 THEN '?b=2&a=1'
+                  WHEN event_id % 4 = 1 THEN '?z=9'
+                  ELSE '' END AS rawq,
+             CASE WHEN event_id % 4 = 0 THEN '?a=1&b=2'
+                  WHEN event_id % 4 = 1 THEN '?z=9'
+                  ELSE '' END AS sortedq
+      FROM events
+    )
+    SELECT 'https://' || www || host || path || rawq AS url,
+           array_to_string(list_reverse(string_split(host, '.')), ',')
+             || ')' || lower(path) || sortedq AS surt
+    FROM base
+    """,
+)
+def q_surt_cdx(spark, sf_dir):
+    """Beyond-ref: SURT key + CDX index build (operators/cdx.py — the
+    IA / Common Crawl archive-lookup convention). Synthetic capture
+    URLs exercise www-stripping, host reversal across 2- and 3-label
+    public suffixes, path lowercasing, and query-param sorting; the
+    engine parses the URL string while the oracle assembles the SURT
+    from the generating parts — URL-parser or transform bugs break
+    the hash. The engine result rides through build_cdx (range
+    partition + in-shard sort), which must be value-preserving."""
+    from ..operators.cdx import build_cdx
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    host = F.concat(
+        F.lit("h"),
+        (eid % 24).cast("string"),
+        F.lit(".example."),
+        F.when(eid % 2 == 0, F.lit("com")).otherwise(F.lit("co.uk")),
+    )
+    www = F.when(eid % 5 == 0, F.lit("www.")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/P/"), eid.cast("string"))
+    rawq = (
+        F.when(eid % 4 == 0, F.lit("?b=2&a=1"))
+        .when(eid % 4 == 1, F.lit("?z=9"))
+        .otherwise(F.lit(""))
+    )
+    caps = e.select(
+        F.concat(F.lit("https://"), www, host, path, rawq).alias("url"),
+        (eid % 28).cast("string").alias("warc_ts"),
+    )
+    return build_cdx(caps, n_shards=8).select("url", "surt")
+
+
+@q(
+    "focus_scores",
+    """
+    SELECT 'https://f.example.com/c/' || event_id::VARCHAR AS url,
+           round(
+             0.7 * 0.5 * ((event_id % 100) / 100.0)
+             + (1.0 - 0.7) * CASE event_id % 4
+                 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 3 THEN 0.5
+                 ELSE 0.0 END,
+             9
+           ) AS focus_score
+    FROM events
+    """,
+)
+def q_focus_scores(spark, sf_dir):
+    """Beyond-ref: focused-crawl frontier scoring (operators/focus.py
+    — fish/shark-search inherited relevance + anchor-term overlap).
+    Each event is one discovery edge: parent = event_id % 100 with
+    relevance k/100, anchor text in one of four families overlapping
+    the topic set {yacht, charter} by 2/2, 1/2, 0/2, 1/2 terms. The
+    oracle states the scoring formula in closed form over the
+    generating parameters — join, tokenization, intersect, and
+    max-aggregation bugs all break the hash."""
+    from ..operators.focus import focus_scores
+
+    e = T(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    anchor = (
+        F.when(eid % 4 == 0, F.lit("yacht charter weekly"))
+        .when(eid % 4 == 1, F.lit("charter"))
+        .when(eid % 4 == 2, F.lit("contact us"))
+        .otherwise(F.lit("cheap yacht deals"))
+    )
+    disc = e.select(
+        F.concat(
+            F.lit("https://f.example.com/p/"), (eid % 100).cast("string")
+        ).alias("parent_url"),
+        F.concat(F.lit("https://f.example.com/c/"), eid.cast("string")).alias(
+            "url"
+        ),
+        anchor.alias("anchor_text"),
+    )
+    parents = (
+        e.select((eid % 100).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("https://f.example.com/p/"), F.col("k").cast("string")
+            ).alias("url"),
+            (F.col("k") / F.lit(100.0)).alias("score"),
+        )
+    )
+    return focus_scores(
+        disc, parents, ["yacht", "charter"], decay=0.5, gamma=0.7
+    )

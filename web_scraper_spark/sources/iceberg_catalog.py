@@ -27,6 +27,8 @@ to the Iceberg SparkCatalog, per the public Iceberg docs).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["IcebergCatalog"]
@@ -214,3 +216,104 @@ class IcebergCatalog:
     def drop(self, name: str) -> None:
         self._require()
         self.spark.sql(f"DROP TABLE IF EXISTS {self.ident(name)}")
+
+    # ---- engine contract: versions / round manifests / log partitions -----
+    # ParquetSnapshotCatalog keeps round manifests as JSON files and log
+    # round-ids as directory names; here both become Iceberg state so the
+    # WHOLE CrawlEngine surface (plans/rounds.py) runs against one catalog:
+    # manifests live in a `rounds` table (round_id, info JSON) committed
+    # via the same MERGE builder as W2, and log round-ids/retention are
+    # plain SQL over the round_id partition column (Iceberg DELETE drops
+    # whole partitions metadata-only when the predicate aligns).
+
+    ROUNDS_TABLE = "rounds"
+
+    def versions(self, name: str) -> list[int]:
+        self._require()
+        tags = self.spark.sql(
+            f"SELECT name FROM {self.ident(name)}.refs WHERE type = 'TAG'"
+        ).collect()
+        return sorted(
+            int(r["name"][1:]) for r in tags if r["name"].startswith("v")
+        )
+
+    def log_round_ids_sql(self, name: str) -> str:
+        return (
+            f"SELECT DISTINCT round_id FROM {self.ident(name)} "
+            "ORDER BY round_id"
+        )
+
+    def log_round_ids(self, name: str) -> list[int]:
+        self._require()
+        if not self.exists(name):
+            return []
+        return [
+            int(r["round_id"])
+            for r in self.spark.sql(self.log_round_ids_sql(name)).collect()
+        ]
+
+    def drop_log_partitions_sql(self, name: str, upto_round: int) -> str:
+        # predicate on the partition column → metadata-only delete
+        return (
+            f"DELETE FROM {self.ident(name)} "
+            f"WHERE round_id <= {int(upto_round)}"
+        )
+
+    def drop_log_partitions(self, name: str, upto_round: int) -> list[int]:
+        self._require()
+        dropped = [r for r in self.log_round_ids(name) if r <= upto_round]
+        if dropped:
+            self.spark.sql(self.drop_log_partitions_sql(name, upto_round))
+        return dropped
+
+    def log_exists(self, name: str) -> bool:
+        self._require()
+        return self.exists(name)
+
+    def _ensure_rounds_table(self) -> None:
+        self.spark.sql(
+            self.create_table_sql(
+                self.ROUNDS_TABLE, "round_id bigint, info string"
+            )
+        )
+
+    def commit_round(self, round_id: int, info: dict) -> None:
+        """Idempotent manifest commit: MERGE on round_id (re-running a
+        committed round overwrites the same manifest row, exactly the
+        parquet layout's atomic-rename semantics)."""
+        self._require()
+        self._ensure_rounds_table()
+        src = self.spark.createDataFrame(
+            [(int(round_id), json.dumps(info, sort_keys=True))],
+            "round_id bigint, info string",
+        )
+        self.merge_upsert(self.ROUNDS_TABLE, src, ["round_id"])
+
+    def round_committed(self, round_id: int) -> bool:
+        self._require()
+        if not self.exists(self.ROUNDS_TABLE):
+            return False
+        n = self.spark.sql(
+            f"SELECT count(*) AS n FROM {self.ident(self.ROUNDS_TABLE)} "
+            f"WHERE round_id = {int(round_id)}"
+        ).first()["n"]
+        return n > 0
+
+    def read_round_manifest(self, round_id: int) -> dict:
+        self._require()
+        row = self.spark.sql(
+            f"SELECT info FROM {self.ident(self.ROUNDS_TABLE)} "
+            f"WHERE round_id = {int(round_id)}"
+        ).first()
+        if row is None:
+            raise FileNotFoundError(f"round {round_id} not committed")
+        return json.loads(row["info"])
+
+    def last_committed_round(self) -> int:
+        self._require()
+        if not self.exists(self.ROUNDS_TABLE):
+            return 0
+        row = self.spark.sql(
+            f"SELECT max(round_id) AS m FROM {self.ident(self.ROUNDS_TABLE)}"
+        ).first()
+        return int(row["m"]) if row["m"] is not None else 0
