@@ -156,7 +156,11 @@ _CHECK_FIRST = [
     "c4_filters",
     "gopher_filters",
     # ---- window boundary (~50): everything below holds an
-    # unchanged-code green row from r2/r3 (COVERAGE.md ledger) ----
+    # unchanged-code green row from r2/r3 (COVERAGE.md ledger) or is
+    # queued FIRST for the round-5 rotation (new late-r4 operators) ----
+    "trustrank_scores",
+    "spam_mass_hosts",
+    "opic_scores",
     "pricing_summary",
     "top_revenue_orders",
     "nation_volume",

@@ -128,3 +128,86 @@ def test_adaptive_delay_shrinks_polite_budget(spark):
     # fast: 600/30 = 20; slow at 0.5 error rate → 4 doublings? no:
     # floor(0.5/0.1)=5 capped at 4 → 30*16=480 → budget max(1, 600/480)=1
     assert out == {"fast": 20, "slow": 1}
+
+
+def test_trustrank_seeds_hold_trust_spam_farm_gets_none(spark):
+    """Gyöngyi et al. VLDB'04 core property: a spam cluster that is
+    unreachable from the trusted core gets (near-)zero trust no matter
+    how much in-degree it manufactures among itself."""
+    from web_scraper_spark.operators.linkgraph import trustrank
+
+    e = _edges(
+        spark,
+        [
+            # good core: seed g links to a, a to b
+            ("g", "a", 1), ("a", "b", 1), ("b", "g", 1),
+            # spam farm: s1/s2 link to each other AND to the spam target
+            ("s1", "spam", 5), ("s2", "spam", 5),
+            ("spam", "s1", 1), ("spam", "s2", 1),
+        ],
+    )
+    out = {r["node"]: r["trust"] for r in trustrank(e, ["g"], n_iter=20).collect()}
+    assert math.isclose(sum(out.values()), 1.0, rel_tol=1e-9)
+    # the whole spam component is unreachable from g → zero trust
+    assert out["spam"] == out["s1"] == out["s2"] == 0.0
+    assert out["g"] > 0 and out["a"] > 0 and out["b"] > 0
+
+
+def test_trustrank_requires_a_seed_in_graph(spark):
+    import pytest
+    from web_scraper_spark.operators.linkgraph import trustrank
+
+    e = _edges(spark, [("a", "b", 1)])
+    with pytest.raises(ValueError):
+        trustrank(e, ["nope"], n_iter=1)
+
+
+def test_spam_mass_separates_farm_from_core(spark):
+    """Mass estimation (VLDB'06): relative spam mass ≈ 1 for nodes whose
+    PageRank is all self-manufactured, ≤ 0 for the trusted core."""
+    from web_scraper_spark.operators.linkgraph import spam_mass, trustrank
+
+    e = _edges(
+        spark,
+        [
+            ("g", "a", 1), ("a", "g", 1),
+            ("s1", "spam", 5), ("s2", "spam", 5),
+            ("spam", "s1", 1), ("spam", "s2", 1),
+        ],
+    )
+    pr = pagerank(e, n_iter=20)
+    tr = trustrank(e, ["g"], n_iter=20)
+    out = {r["node"]: r["spam_mass"] for r in spam_mass(pr, tr).collect()}
+    assert out["spam"] == 1.0  # all rank unexplained by trust
+    # seeds hold concentrated trust >> their pagerank share
+    assert out["g"] < 0
+
+
+def test_opic_conserves_cash_and_ranks_by_inflow(spark):
+    """OPIC invariants: importance sums to 1 at any horizon (the paper's
+    unbiased-at-any-stopping-point property), and the node every walk
+    funnels into dominates."""
+    from web_scraper_spark.operators.linkgraph import opic
+
+    e = _edges(
+        spark,
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1), ("hub", "a", 1)],
+    )
+    for horizon in (1, 3, 10):
+        out = {
+            r["node"]: r["importance"] for r in opic(e, n_iter=horizon).collect()
+        }
+        assert math.isclose(sum(out.values()), 1.0, rel_tol=1e-9), horizon
+    assert out["hub"] == max(out.values())
+    assert out["a"] > out["b"] == out["c"]
+
+
+def test_opic_dangling_cash_respread(spark):
+    """A sink node banks its cash but the cash re-enters circulation
+    uniformly — nothing leaks (total importance stays 1)."""
+    from web_scraper_spark.operators.linkgraph import opic
+
+    e = _edges(spark, [("a", "d", 1), ("b", "d", 1), ("c", "d", 1)])
+    out = {r["node"]: r["importance"] for r in opic(e, n_iter=6).collect()}
+    assert math.isclose(sum(out.values()), 1.0, rel_tol=1e-9)
+    assert out["d"] == max(out.values())

@@ -31,6 +31,9 @@ __all__ = [
     "host_edges",
     "pagerank",
     "hits",
+    "trustrank",
+    "spam_mass",
+    "opic",
     "host_stats",
     "host_priority",
     "adaptive_crawl_delay",
@@ -310,3 +313,215 @@ def host_priority(
             6,
         ).alias("priority"),
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: list[str],
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_to: int | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04): PageRank
+    with the teleport vector concentrated on a hand-verified trusted
+    seed set instead of uniform. Trust flows from the seeds along
+    outlinks and attenuates with distance; spam farms — unreachable
+    from the good core — end up with near-zero trust no matter how much
+    raw in-degree they manufacture. The reference has no spam defense
+    at all (its host set is a static config dict); at web scale a
+    frontier ordered purely by PageRank is gameable, ordering by trust
+    is not::
+
+        t(v)  = 1/|S| if v in S else 0
+        r'(v) = (1-d)*t(v) + d*(sum_{u->v} r(u)*w(u,v)/out(u)
+                                + dangling_mass*t(v))
+
+    Same plan shape as :func:`pagerank` — one edge-join shuffle per
+    iteration over the HOST graph, dangling mass as a 1-row scalar —
+    only the teleport distribution differs (a seed-membership Column,
+    the seed list is a broadcast literal: real whitelists are 10^2-10^4
+    hosts). Scores sum to 1; mass parked on seeds rather than spread
+    uniformly. Returns ``(node, trust)``.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seed_set = sorted(set(seeds))
+    is_seed = F.col("node").isin(seed_set)
+    n_seeds = nodes.filter(is_seed).count()
+    if n_seeds == 0:
+        raise ValueError("trustrank: no seed is a node of the graph")
+    teleport = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+
+    out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    trans = (
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    dangling_nodes = nodes.join(
+        edges.select("src").distinct(), nodes.node == F.col("src"), "left_anti"
+    )
+
+    ranks = nodes.select("node", teleport.alias("rank"))
+    for i in range(n_iter):
+        if i > 0 and i % checkpoint_every == 0:
+            # ranks is consumed twice per iteration (mass scalar +
+            # contrib join) — materialize + break lineage, same
+            # rationale as pagerank
+            ranks = ranks.localCheckpoint(eager=True)
+        dangling_mass = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * teleport
+                + F.lit(damping)
+                * (
+                    F.coalesce("contrib", F.lit(0.0))
+                    + F.lit(dangling_mass) * teleport
+                )
+            ).alias("rank"),
+        )
+    if round_to is not None:
+        ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    trans.unpersist()
+    nodes.unpersist()
+    return ranks.withColumnRenamed("rank", "trust")
+
+
+def spam_mass(pagerank_scores: DataFrame, trust_scores: DataFrame) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al., 'Link Spam Detection Based
+    on Mass Estimation', VLDB'06 §4): the fraction of a node's PageRank
+    NOT accounted for by trust flowing from the good core::
+
+        sm(v) = (pr(v) - trust(v)) / pr(v)
+
+    Near 1 → virtually all rank comes from outside the trusted region
+    (spam-farm signature, demote in the frontier); near 0 or negative →
+    rank is fully explained by (or below) its trusted share. Inputs are
+    the two rank tables over the same node set (host-grain — a
+    broadcast-sized join at any corpus scale). pr > 0 always: every
+    node holds at least the (1-d)/N uniform floor.
+
+    Returns ``(node, pr, trust, spam_mass)`` rounded to 6 dp.
+    """
+    return (
+        pagerank_scores.select("node", F.col("rank").alias("pr"))
+        .join(trust_scores.select("node", "trust"), "node")
+        .select(
+            "node",
+            F.round("pr", 6).alias("pr"),
+            F.round("trust", 6).alias("trust"),
+            F.round(
+                (F.round("pr", 6) - F.round("trust", 6)) / F.round("pr", 6), 6
+            ).alias("spam_mass"),
+        )
+    )
+
+
+def opic(
+    edges: DataFrame,
+    n_iter: int = 4,
+    round_to: int | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobéna, WWW'03), the crawl-ordering score real frontiers use when
+    they cannot afford to converge PageRank: every node carries *cash*
+    (current flow) and *history* (accumulated flow); visiting a node
+    banks its cash into history and pushes it along outlinks. Unlike
+    PageRank there is no damping and no convergence requirement — the
+    estimate ``(history + cash) / total`` is unbiased at ANY stopping
+    point, which is exactly what a crawler iterating the host graph a
+    few steps between rounds needs.
+
+    This is the batch-synchronous variant (every node distributes each
+    superstep — equivalent to the paper's "greedy" policy run to a
+    fixed horizon): with ``w(u,v)`` the edge weight share and dangling
+    cash respread uniformly (the paper's virtual-page trick collapsed
+    in-line)::
+
+        cash'(v) = sum_{u->v} cash(u) * w(u,v)/out(u) + dangling/N
+        hist'(v) = hist(v) + cash(v)
+
+    Total cash is conserved at 1 per superstep, so after k supersteps
+    ``sum(hist + cash) = k + 1`` exactly — importance divides by that
+    analytic constant rather than a computed sum (one less job, and
+    bit-reproducible against the SQL twin).
+
+    Same scale shape as :func:`pagerank`: one edge-join shuffle per
+    superstep over the HOST graph (never the page corpus), dangling
+    mass as a 1-row scalar, lineage broken every ``checkpoint_every``
+    supersteps. Returns ``(node, importance)`` summing to 1.
+
+    The reference has no frontier scoring at all (static competitor
+    dict, src/config.py) — this and :func:`pagerank`/:func:`trustrank`
+    are the beyond-reference scheduling signals SURVEY §2 calls for.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    trans = (
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    dangling_nodes = nodes.join(
+        edges.select("src").distinct(), nodes.node == F.col("src"), "left_anti"
+    )
+
+    state = nodes.select(
+        "node",
+        F.lit(1.0 / n_nodes).alias("cash"),
+        F.lit(0.0).alias("hist"),
+    )
+    for i in range(n_iter):
+        if i > 0 and i % checkpoint_every == 0:
+            # state feeds the dangling scalar, the contrib join AND the
+            # hist carry-over — materialize once per superstep
+            state = state.localCheckpoint(eager=True)
+        dangling_mass = (
+            dangling_nodes.join(state, "node")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            trans.join(state, trans.src == state.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("cash")).alias("contrib"))
+        )
+        state = nodes.join(state, "node").join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.coalesce("contrib", F.lit(0.0))
+                + F.lit(dangling_mass) / F.lit(float(n_nodes))
+            ).alias("cash"),
+            (F.col("hist") + F.col("cash")).alias("hist"),
+        )
+    importance = (F.col("hist") + F.col("cash")) / F.lit(float(n_iter + 1))
+    if round_to is not None:
+        importance = F.round(importance, round_to)
+    result = state.select("node", importance.alias("importance"))
+    trans.unpersist()
+    nodes.unpersist()
+    return result

@@ -314,3 +314,191 @@ def q_bm25_topk(spark, sf_dir):
         docs, _BM25_TERMS, k1=1.2, b=0.75, top_k=20, round_to=4
     )
     return out.select("doc", "score", "n_terms_hit")
+
+
+# ---------------------------------------------------------------------------
+# TrustRank / spam mass / OPIC (unrolled-CTE oracles, pagerank convention)
+# ---------------------------------------------------------------------------
+
+_TR_SEEDS = ("h3", "h17", "h29")
+
+
+def _host_graph_prefix() -> str:
+    """Shared host-graph CTEs — identical to _pagerank_sql's prefix in
+    battery.py (events-derived 50->60 host graph, 10 dangling hosts)."""
+    return """
+    e0 AS (
+      SELECT 'h' || (user_id % 50) AS src, 'h' || (event_id % 60) AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, count(*)::BIGINT AS weight
+      FROM e0 WHERE src <> dst GROUP BY src, dst
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src, sum(weight)::DOUBLE AS out_w
+             FROM edges GROUP BY src),
+    trans AS (SELECT e.src, e.dst, e.weight / o.out_w AS p
+              FROM edges e JOIN outw o USING (src)),
+    dang AS (SELECT node FROM nodes
+             WHERE node NOT IN (SELECT src FROM edges))"""
+
+
+def _pr_chain(n_iter: int) -> str:
+    """Uniform-teleport PageRank iterations r0..r{n} (same arithmetic
+    as battery._pagerank_sql; e0-suffixed literals keep DuckDB in
+    DOUBLE so both engines run identical IEEE ops)."""
+    its = ["r0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes)"]
+    for i in range(n_iter):
+        its.append(f"""
+    d{i} AS (SELECT coalesce(sum(r.rank), 0.0e0) AS mass
+             FROM dang JOIN r{i} r USING (node)),
+    c{i} AS (SELECT t.dst, sum(t.p * r.rank) AS contrib
+             FROM trans t JOIN r{i} r ON t.src = r.node GROUP BY t.dst),
+    r{i + 1} AS (
+      SELECT n.node,
+             (1.0e0 - 0.85e0) / (SELECT n FROM nn)
+             + 0.85e0 * (coalesce(c.contrib, 0.0e0)
+                         + (SELECT mass FROM d{i}) / (SELECT n FROM nn))
+             AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)""")
+    return ",".join(its)
+
+
+def _tr_chain(n_iter: int) -> str:
+    """TrustRank iterations g0..g{n}: same power iteration, teleport
+    vector concentrated on the seed set (operators/linkgraph.py:
+    trustrank) — dangling mass flows to the SEEDS, not uniformly."""
+    seeds = ", ".join(f"'{s}'" for s in _TR_SEEDS)
+    its = [
+        f"""ns AS (SELECT count(*)::DOUBLE AS k FROM nodes
+             WHERE node IN ({seeds})),
+    tele AS (SELECT node,
+                    CASE WHEN node IN ({seeds})
+                         THEN 1.0e0 / (SELECT k FROM ns)
+                         ELSE 0.0e0 END AS t
+             FROM nodes),
+    g0 AS (SELECT node, t AS rank FROM tele)"""
+    ]
+    for i in range(n_iter):
+        its.append(f"""
+    gd{i} AS (SELECT coalesce(sum(r.rank), 0.0e0) AS mass
+              FROM dang JOIN g{i} r USING (node)),
+    gc{i} AS (SELECT t.dst, sum(t.p * r.rank) AS contrib
+              FROM trans t JOIN g{i} r ON t.src = r.node GROUP BY t.dst),
+    g{i + 1} AS (
+      SELECT n.node,
+             (1.0e0 - 0.85e0) * te.t
+             + 0.85e0 * (coalesce(c.contrib, 0.0e0)
+                         + (SELECT mass FROM gd{i}) * te.t)
+             AS rank
+      FROM nodes n JOIN tele te USING (node)
+      LEFT JOIN gc{i} c ON n.node = c.dst)""")
+    return ",".join(its)
+
+
+def _battery_linkgraph_edges(spark, sf_dir):
+    from .battery import _battery_host_edges
+
+    return _battery_host_edges(spark, sf_dir)
+
+
+_TRUSTRANK_SQL = f"""
+WITH {_host_graph_prefix()},
+    {_tr_chain(2)}
+SELECT node, round(rank, 6) AS trust FROM g2
+"""
+
+
+@q("trustrank_scores", _TRUSTRANK_SQL)
+def q_trustrank_scores(spark, sf_dir):
+    """Beyond-ref: TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB'04) over the same 60-host graph as host_pagerank with 3
+    trusted seeds — trust teleports to the seed set only, so hosts
+    unreachable from the good core score ~0 regardless of in-degree.
+    2 power iterations; the oracle unrolls both with the seed-weighted
+    teleport, so a uniform-teleport slip or mis-routed dangling mass
+    breaks the hash."""
+    from ..operators.linkgraph import trustrank
+
+    return trustrank(
+        _battery_linkgraph_edges(spark, sf_dir),
+        list(_TR_SEEDS),
+        n_iter=2,
+        damping=0.85,
+        round_to=6,
+    )
+
+
+_SPAM_MASS_SQL = f"""
+WITH {_host_graph_prefix()},
+    {_pr_chain(2)},
+    {_tr_chain(2)}
+SELECT n.node,
+       round(p.rank, 6) AS pr,
+       round(g.rank, 6) AS trust,
+       round((round(p.rank, 6) - round(g.rank, 6)) / round(p.rank, 6), 6)
+         AS spam_mass
+FROM nodes n JOIN r2 p USING (node) JOIN g2 g USING (node)
+"""
+
+
+@q("spam_mass_hosts", _SPAM_MASS_SQL)
+def q_spam_mass_hosts(spark, sf_dir):
+    """Beyond-ref: relative spam mass (Gyöngyi et al. VLDB'06) — the
+    PageRank fraction NOT explained by trust from the seed core; the
+    frontier demotion signal for manufactured-rank hosts. Runs BOTH
+    2-iteration chains (uniform + seed teleport) and joins them; the
+    oracle unrolls all four iterations in one WITH."""
+    from ..operators.linkgraph import pagerank, spam_mass, trustrank
+
+    edges = _battery_linkgraph_edges(spark, sf_dir)
+    pr = pagerank(edges, n_iter=2, damping=0.85)
+    tr = trustrank(edges, list(_TR_SEEDS), n_iter=2, damping=0.85)
+    return spam_mass(pr, tr)
+
+
+def _opic_chain(n_iter: int) -> str:
+    its = [
+        """ch0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS cash,
+                         0.0e0 AS hist FROM nodes)"""
+    ]
+    for i in range(n_iter):
+        its.append(f"""
+    od{i} AS (SELECT coalesce(sum(c.cash), 0.0e0) AS mass
+              FROM dang JOIN ch{i} c USING (node)),
+    oc{i} AS (SELECT t.dst, sum(t.p * c.cash) AS contrib
+              FROM trans t JOIN ch{i} c ON t.src = c.node GROUP BY t.dst),
+    ch{i + 1} AS (
+      SELECT n.node,
+             coalesce(o.contrib, 0.0e0)
+               + (SELECT mass FROM od{i}) / (SELECT n FROM nn) AS cash,
+             c.hist + c.cash AS hist
+      FROM nodes n JOIN ch{i} c USING (node)
+      LEFT JOIN oc{i} o ON n.node = o.dst)""")
+    return ",".join(its)
+
+
+_OPIC_SQL = f"""
+WITH {_host_graph_prefix()},
+    {_opic_chain(3)}
+SELECT node, round((hist + cash) / 4.0e0, 6) AS importance FROM ch3
+"""
+
+
+@q("opic_scores", _OPIC_SQL)
+def q_opic_scores(spark, sf_dir):
+    """Beyond-ref: OPIC (Abiteboul, Preda & Cobéna, WWW'03) — the
+    cash/history frontier-importance estimate, unbiased at any
+    stopping point (no convergence wait between crawl rounds). 3
+    batch-synchronous supersteps over the 60-host graph; total
+    history+cash is conserved at supersteps+1 exactly, and the oracle
+    replays every cash transfer, so a lost dangling coin or an
+    off-by-one history bank breaks the hash."""
+    from ..operators.linkgraph import opic
+
+    return opic(_battery_linkgraph_edges(spark, sf_dir), n_iter=3, round_to=6)
