@@ -161,6 +161,7 @@ _CHECK_FIRST = [
     "trustrank_scores",
     "spam_mass_hosts",
     "opic_scores",
+    "domain_split",
     "pricing_summary",
     "top_revenue_orders",
     "nation_volume",

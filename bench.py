@@ -120,9 +120,13 @@ def build_bench_world(spark, n_hosts: int, yachts_each: int, cache_dir: str) -> 
     # The generator emits each URL exactly once → projection path.
     from web_scraper_spark.sources.pages_source import resolve_pages
 
+    # keep the 64-way layout through the resolve write (see genworld:
+    # a narrow-session world must not cap later scans' parallelism)
     resolve_pages(
         spark.read.parquet(f"{out}/pages.parquet"), assume_unique=True
-    ).write.mode("overwrite").parquet(f"{out}/pages_resolved.parquet")
+    ).repartition(64).write.mode("overwrite").parquet(
+        f"{out}/pages_resolved.parquet"
+    )
     with open(os.path.join(out, "_WORLD_DONE"), "w") as f:
         f.write("ok")
     return out

@@ -199,5 +199,12 @@ def generate_bench_world(
             F.when(F.pmod(h, F.lit(3)) == 0, "tr").otherwise("en").alias("lang"),
         )
     )
-    pages.write.mode("overwrite").parquet(paths["pages"])
+    # Fixed 64-way output regardless of the GENERATING session's core
+    # count: parquet scans split at row-group boundaries, so a world
+    # written by a local[2] session as 2 fat files permanently caps
+    # every later page scan (extraction!) at ~2 tasks no matter how
+    # many cores the MEASURING session has — exactly the r3/r4 "extract
+    # does not scale" artifact (BENCH/stage_scaling_n2_contaminated
+    # .json: 87 s at local[2] AND local[8]).
+    pages.repartition(64).write.mode("overwrite").parquet(paths["pages"])
     return paths

@@ -88,3 +88,41 @@ def test_pack_sequences_straddles_windows(spark):
     # doc2 starts at 401 and ends at 800: crosses the 512 boundary
     assert out[2]["window_first"] == 0 and out[2]["window_last"] == 1
     assert out[3]["window_first"] == out[3]["window_last"] == 1
+
+
+def test_split_assign_no_domain_straddles_splits(spark):
+    """Leakage invariant: every domain lands in exactly one split, the
+    split set is exhaustive, and assignment is deterministic."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.operators.sampling import split_assign
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 97).cast("string")).alias("domain"),
+    )
+    out = split_assign(docs, by_col="domain")
+    per_domain = out.groupBy("domain").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_domain.filter("k > 1").count() == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "valid", "test"} and "train" in splits
+    # deterministic: re-running yields the identical assignment
+    again = split_assign(docs, by_col="domain")
+    assert (
+        out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    )
+
+
+def test_split_assign_fraction_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.operators.sampling import split_assign
+
+    docs = spark.range(10).select(
+        F.col("id").cast("string").alias("domain")
+    )
+    with pytest.raises(ValueError):
+        split_assign(docs, splits=[("a", 0.5), ("b", 0.2)])

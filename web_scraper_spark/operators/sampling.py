@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "pack_sequences"]
+__all__ = ["hash_sample", "pack_sequences", "split_assign"]
 
 
 def _hash_bucket(id_col: F.Column, salt: str, buckets: int) -> F.Column:
@@ -113,3 +113,40 @@ def pack_sequences(
             / max_tokens
         ).alias("window_last"),
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    by_col: str = "domain",
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split is a pure
+    hash function of a *content-owner* key (registrable domain), not of
+    the document id — so mirrors, templated pages, and near-duplicates
+    within a site can never straddle the train/eval boundary (the
+    standard complement to n-gram decontamination; splitting web text
+    i.i.d. by document leaks aggressively because intra-site near-dups
+    are the norm). Deterministic across re-runs, engines, and cluster
+    widths — no selection table to persist at 100 TB; zero shuffle
+    (pure projection, pushes past column pruning).
+
+    ``splits`` is an ordered list of (name, fraction); fractions are
+    quantized to ``buckets`` and the LAST split absorbs rounding slack
+    so every row gets exactly one split. Appends a ``split`` column.
+    """
+    if splits is None:
+        splits = [("train", 0.98), ("valid", 0.01), ("test", 0.01)]
+    if abs(sum(f for _, f in splits) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    bucket = _hash_bucket(F.col(by_col), salt, buckets)
+    expr = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = bucket < int(cum * buckets)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)

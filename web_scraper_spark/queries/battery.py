@@ -1249,3 +1249,52 @@ def q_pack_sequences(spark, sf_dir):
         "doc_id", (F.col("n_chars") % 797).cast("long").alias("n_tokens")
     )
     return pack_sequences(docs, max_tokens=512, n_shards=64)
+
+
+@q(
+    "domain_split",
+    """
+    WITH d AS (
+      SELECT doc_id, 'd' || (doc_id % 211) AS domain FROM documents
+    ),
+    b AS (
+      SELECT doc_id, domain,
+             ('0x' || substr(md5('split' || domain), 1, 8))::BIGINT % 10000
+               AS bucket
+      FROM d
+    )
+    SELECT CASE WHEN bucket < 9600 THEN 'train'
+                WHEN bucket < 9800 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT domain)::BIGINT AS n_domains
+    FROM b GROUP BY 1
+    """,
+)
+def q_domain_split(spark, sf_dir):
+    """Beyond-ref: leakage-safe train/valid/test split keyed on the
+    content-owner (domain) hash, not the document id — intra-site
+    near-duplicates can never straddle the train/eval boundary
+    (operators/sampling.py:split_assign). Pure zero-shuffle projection;
+    the per-split doc and distinct-domain counts pin both the md5
+    bucketing and the cumulative-threshold assignment."""
+    from ..operators.sampling import split_assign
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 211).cast("string")).alias(
+            "domain"
+        ),
+    )
+    return (
+        split_assign(
+            docs,
+            by_col="domain",
+            splits=[("train", 0.96), ("valid", 0.02), ("test", 0.02)],
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("domain").cast("long").alias("n_domains"),
+        )
+    )
