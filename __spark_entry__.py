@@ -162,6 +162,7 @@ _CHECK_FIRST = [
     "spam_mass_hosts",
     "opic_scores",
     "domain_split",
+    "budget_allocation",
     "pricing_summary",
     "top_revenue_orders",
     "nation_volume",

