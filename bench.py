@@ -196,6 +196,7 @@ def run_crawl_round(spark, world_dir: str) -> dict:
             # Amdahl serial section from the data-proportional stages
             "frontier_write_sec": stats.get("frontier_write_seconds"),
             "bloom_merge_sec": stats.get("bloom_merge_seconds"),
+            "sections": stats.get("sections"),
         }
     finally:
         shutil.rmtree(state, ignore_errors=True)

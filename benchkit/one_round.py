@@ -33,10 +33,21 @@ def main() -> int:
     from web_scraper_spark.session import get_spark
 
     os.makedirs(args.cache, exist_ok=True)
+    extra = {}
+    evdir = os.environ.get("WSS_EVENTLOG_DIR")
+    if evdir:
+        # per-stage attribution for scaling diagnosis: parse the event
+        # log with benchkit/parse_eventlog.py after the run
+        os.makedirs(evdir, exist_ok=True)
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+        }
     spark = get_spark(
         master=f"local[{args.cpus}]",
         shuffle_partitions=args.cpus,
         app_name=f"wss-scale-{args.cpus}",
+        extra_conf=extra,
     )
     world_dir = build_bench_world(spark, args.hosts, args.yachts, args.cache)
     # warm-up round on a small world (throwaway state): JIT, python-worker

@@ -58,13 +58,14 @@ def oracle(world):
     return o
 
 
-@pytest.fixture(scope="session", params=["broadcast", "shuffle"])
+@pytest.fixture(scope="session", params=["broadcast", "semi", "shuffle"])
 def engine_run(request, spark, world):
     """(engine, catalog, stats, tables dict) after N_ROUNDS rounds.
 
-    Parametrized over both html-fetch join strategies — parity must hold
-    on the broadcast path (small budgets) and the salted-shuffle path
-    (frontier-scale budgets) alike.
+    Parametrized over all three html-fetch join strategies — parity must
+    hold on the broadcast path (small budgets), the key-semi path
+    (budget-scale selections, html never exchanged), and the
+    salted-shuffle path (frontier-scale budgets) alike.
     """
     tmp = tempfile.mkdtemp(prefix="wss_test_")
     paths = write_world_parquet(world, tmp + "/world")

@@ -116,8 +116,18 @@ def test_fetch_join_auto_selection(spark):
     eng = CrawlEngine(spark, None, big_budget, fetch_join="auto")
     # 2M budget but only 5k frontier rows -> selection is small -> broadcast
     assert eng._resolve_fetch_join(small_frontier) == "broadcast"
-    # 2M budget, 300k frontier -> frontier-scale selection -> shuffle
-    assert eng._resolve_fetch_join(big_frontier) == "shuffle"
+    # 2M budget, 300k frontier -> key-set still broadcasts -> semi
+    # (html stays on the scan layout; no exchange)
+    assert eng._resolve_fetch_join(big_frontier) == "semi"
+    # beyond the semi key-set cap -> shuffle
+    huge = PolitenessSpec(
+        round_seconds=86400,
+        global_batch_urls=50_000_000,
+        global_pause_s=86400,
+    )
+    eng_huge = CrawlEngine(spark, None, huge, fetch_join="auto")
+    huge_frontier = spark.range(30_000_000).toDF("id")
+    assert eng_huge._resolve_fetch_join(huge_frontier) == "shuffle"
 
     eng2 = CrawlEngine(spark, None, small_budget, fetch_join="auto")
     # budget alone already below threshold: no count job needed

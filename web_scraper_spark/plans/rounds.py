@@ -146,6 +146,14 @@ class CrawlEngine:
     # multi-hundred-MB driver hash table (measured: 600k rows needed a
     # 20 GiB heap) — switch to the salted shuffle join
     BROADCAST_FETCH_THRESHOLD: int = 100_000
+    # up to here the 8-byte selected-key set ships to the pages scan as
+    # a broadcast left-semi (~160 MB at the cap) and html never leaves
+    # the scan layout; beyond it the shuffle join takes over. On a real
+    # cluster a bloom-filter key set extends the semi window further.
+    SEMI_FETCH_THRESHOLD: int = 20_000_000
+    # selection sizes up to here broadcast the narrow crawl attrs onto
+    # the extraction output so extracted text never shuffles either
+    ATTRS_BROADCAST_THRESHOLD: int = 1_000_000
 
     def _resolve_fetch_join(self, frontier: DataFrame, frontier_rows: int | None = None) -> str:
         """Pick the html-fetch join strategy from a sound plan-time
@@ -153,16 +161,30 @@ class CrawlEngine:
         ``min(global_budget, frontier rows)`` rows. The frontier count
         is a footer-only parquet scan (count(*) prunes every column),
         so the estimate costs no data I/O; pass ``frontier_rows`` to
-        reuse a count the round already took."""
+        reuse a count the round already took.
+
+        Ladder: ``broadcast`` (whole selection broadcasts into the
+        scan) → ``semi`` (only the 64-bit keys broadcast; extraction
+        runs on the scan partitioning and the wide html column crosses
+        ZERO exchanges) → ``shuffle`` (both sides exchange on the URL
+        identity; the uniform hash key kills hot-host skew)."""
         if self.fetch_join != "auto":
             return self.fetch_join
+        est = self._selection_upper_bound(frontier, frontier_rows)
+        if est <= self.BROADCAST_FETCH_THRESHOLD:
+            return "broadcast"
+        return "semi" if est <= self.SEMI_FETCH_THRESHOLD else "shuffle"
+
+    def _selection_upper_bound(
+        self, frontier: DataFrame, frontier_rows: int | None = None
+    ) -> int:
         est = self.spec.global_budget
         if est > self.BROADCAST_FETCH_THRESHOLD:
             est = min(
                 est,
                 frontier_rows if frontier_rows is not None else frontier.count(),
             )
-        return "broadcast" if est <= self.BROADCAST_FETCH_THRESHOLD else "shuffle"
+        return est
 
     # ------------------------------------------------------------------
     # frontier bootstrap: T1 (weekly periods) + T3 (seeds x periods)
@@ -459,6 +481,16 @@ class CrawlEngine:
         if self.catalog.round_committed(round_id):
             return self.catalog.read_round_manifest(round_id)
         t0 = time.monotonic()
+        # per-section walls (scaling diagnosis: which sections are
+        # data-proportional vs fixed overhead) — keyed by pipeline order
+        sections: dict[str, float] = {}
+        _mark = [t0]
+
+        def _section(name: str) -> None:
+            now = time.monotonic()
+            sections[name] = round(now - _mark[0], 3)
+            _mark[0] = now
+
         round_caches: list = []
         frontier = self._read_frontier(round_id - 1)
         if self.frontier_mode == "mor":
@@ -548,6 +580,7 @@ class CrawlEngine:
         # plan-time decisions: skipping the global-limit machinery when
         # the budget provably cannot bind, and the fetch-join strategy.
         frontier_rows = frontier.count()
+        _section("plan_prep")
         selected = select_polite(
             unseen,
             robots,
@@ -557,6 +590,7 @@ class CrawlEngine:
             grain=self.politeness_grain,
         )
 
+        semi_extracted = None
         if self.client_factory is not None:
             # live mode: Arrow-batched HTTP stage, no join at all
             fetched, with_html = self._fetch_live(selected, round_id)
@@ -602,11 +636,45 @@ class CrawlEngine:
             join_cond = (successes.url_hash == page_html.p2h) & (
                 successes.url == page_html.p2u
             )
-            if self._resolve_fetch_join(frontier, frontier_rows) == "broadcast":
+            fetch_strategy = self._resolve_fetch_join(frontier, frontier_rows)
+            if fetch_strategy == "broadcast":
                 # html never shuffles: the selection ships to the pages scan
                 with_html = page_html.join(
                     F.broadcast(successes), join_cond
                 ).drop("p2h", "p2u")
+            elif fetch_strategy == "semi":
+                # html never leaves the SCAN layout even at budget-scale
+                # selections: only the 8-byte key set ships to the pages
+                # scan (left-semi on the 64-bit identity — a collision
+                # false-positive just extracts one extra page, dropped
+                # by the exact attrs join below), extraction runs fused
+                # with the scan stage on its file-split granularity, and
+                # the crawl attrs attach to the html-FREE extraction
+                # output. With the attrs side broadcast (budget-bounded,
+                # narrow) the extracted text crosses zero exchanges too.
+                # Event-log evidence (BENCH/scaling_round.md): the
+                # shuffle path moved the ~wide html through TWO ~530 MB
+                # exchanges per round; this path moves none.
+                sel_keys = successes.select(F.col("url_hash").alias("k_hash"))
+                pages_sel = page_html.join(
+                    F.broadcast(sel_keys),
+                    page_html.p2h == F.col("k_hash"),
+                    "left_semi",
+                ).select(
+                    F.col("p2h").alias("url_hash"),
+                    F.col("p2u").alias("url"),
+                    "html",
+                )
+                ext_raw = extract_pages(pages_sel)
+                est = self._selection_upper_bound(frontier, frontier_rows)
+                attrs = (
+                    F.broadcast(successes)
+                    if est <= self.ATTRS_BROADCAST_THRESHOLD
+                    else successes
+                )
+                # exact (url_hash, url) inner join: restores string-
+                # confirmed identity, same contract as the other paths
+                semi_extracted = ext_raw.join(attrs, ["url_hash", "url"])
             else:
                 # shuffle hash join + salted repartition: html shuffles
                 # once, but no driver-side hash-table build; extraction
@@ -638,7 +706,11 @@ class CrawlEngine:
         # is not an option at all. ``partition_id`` (the extraction
         # task's lineage) is materialized into the table so the re-read
         # preserves W3 per-partition lineage.
-        extracted = extract_pages(with_html)
+        extracted = (
+            semi_extracted
+            if semi_extracted is not None
+            else extract_pages(with_html)
+        )
 
         extractions = extracted.select(
             F.lit(round_id).alias("round_id"),
@@ -656,6 +728,7 @@ class CrawlEngine:
             *[F.col(c) for c in PRIORITY_COLS if c != "url"],
         )
         self.catalog.write_round_partition("extractions", extractions)
+        _section("select_fetch_extract")
         ext = self.catalog.read_log("extractions").filter(
             F.col("round_id") == round_id
         )
@@ -707,7 +780,9 @@ class CrawlEngine:
                 )
             )
         )
+        _section("revisit_stats")
         self.catalog.write_round_partition("fetch_log", log)
+        _section("fetch_log_write")
 
         # W4 frontier merge-back: discoveries (depth+1), state updates
         seed_ranks = seeds.select(
@@ -880,6 +955,7 @@ class CrawlEngine:
         # (delta rounds already committed it above, pre-invalidation)
         if not mor_delta_round:
             bloom_merge_s = _write_bloom()
+        _section("state_commit")
 
         # metrics rollup (A6): per-host counts + throughput. All counts
         # derive from the already-written round partitions (small parquet
@@ -958,6 +1034,8 @@ class CrawlEngine:
             # the round's state lives in its frontier_delta partition
             "frontier_version": self.catalog.current_version("frontier"),
         }
+        _section("metrics_rollup")
+        info["sections"] = sections
         self.catalog.commit_round(round_id, info)
         if self.snapshot_retention is not None:
             # maintenance AFTER the round commit: expiring only versions
