@@ -1,0 +1,342 @@
+"""REAL audio decode for the multimodal tier — WAV/RIFF PCM, no media
+libraries, no stand-in.
+
+The multimodal contract (operators/multimodal.py) honestly stubs
+pixel/frame decode because no image/video codec library ships in this
+container. PCM audio needs none: the WAV container (RIFF chunks,
+Microsoft WAVEFORMAT) is a published byte layout and the payload is raw
+little-endian samples, so header walk + ``numpy.frombuffer`` IS a full
+decoder. This module closes the "real decode behind the multimodal
+contract" gap for the audio modality end-to-end:
+
+- ``synth_wav_pcm16``: deterministic WAV writer (fixture source — the
+  byte-level inverse of the decoder, seeded by ``doc_id`` so the DuckDB
+  oracle can reproduce every sample from integer arithmetic alone).
+- ``parse_wav``: RIFF chunk walk -> (format tag, channels, sample rate,
+  bits, frame count, data offset/size). Tolerates extra chunks (LIST,
+  fact, bext) like real-world WAVs; returns None on malformed bytes —
+  a corpus pipeline must never crash on one bad payload.
+- ``decode_audio_features``: Arrow-batched ``mapInPandas`` stage
+  decoding every sample: duration, integer-exact RMS/peak, channel-0
+  zero-crossing rate. One Python stage, no shuffle; scales exactly like
+  the html extraction stage (bounded per-task batch, columnar in/out).
+- ``audio_frame_windows``: fixed-length frame windows (the audio analog
+  of video frame-sampling) with per-window RMS/peak — explodes only
+  decoded windows, never raw bytes.
+
+Scale notes: payload bytes never shuffle — both stages run on the scan
+layout and emit narrow feature rows. Float math is reproducible across
+engines because every accumulation is integer-exact (sum of int64
+squares; |s| max; crossing counts) with a single final float64
+divide/sqrt — correctly-rounded IEEE ops, so an oracle running the
+same expressions produces bit-identical doubles (no decimal rounding
+anywhere, which would reintroduce tie-breaking skew between engines).
+
+Reference scope: the reference repo has no audio path (it scrapes
+yacht-charter HTML — SURVEY.md §2.8 maps its binary handling to
+``pages.html``); this module is part of the beyond-reference
+training-data-pipeline mandate (multimodal columns).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "synth_wav_pcm16",
+    "synth_samples",
+    "parse_wav",
+    "decode_wav_samples",
+    "decode_audio_features",
+    "audio_frame_windows",
+]
+
+# deterministic sample generator constants (Knuth multiplicative hash
+# and a small odd stride) — shared verbatim by the DuckDB oracle SQL
+_MULT = 2654435761
+_STRIDE = 40503
+
+
+def synth_samples(doc_id: int, n_interleaved: int) -> np.ndarray:
+    """Interleaved PCM16 samples as a pure integer function of
+    ``(doc_id, index)`` — the formula the correctness oracle replays in
+    SQL: ``s(i) = ((doc_id*2654435761 + i*40503) % 65536) - 32768``."""
+    i = np.arange(n_interleaved, dtype=np.int64)
+    return ((doc_id * _MULT + i * _STRIDE) % 65536 - 32768).astype(np.int16)
+
+
+def synth_wav_pcm16(
+    doc_id: int, frames: int, rate: int, channels: int
+) -> bytes:
+    """A complete, valid PCM16 WAV file for the given geometry."""
+    data = synth_samples(doc_id, frames * channels).tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(data: bytes):
+    """RIFF walk -> (audio_format, channels, sample_rate, bits,
+    n_frames, data_offset, data_size), or None when malformed.
+
+    Walks chunks in file order (chunks are word-aligned; odd sizes pad
+    one byte per the RIFF spec), accepting unknown chunks between
+    ``fmt `` and ``data`` as real encoders emit (LIST/INFO, fact,
+    bext). Requires integer PCM (format tag 1) or IEEE float (3).
+    """
+    n = len(data)
+    if n < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_info = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
+            tag, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", data[body : body + 16]
+            )
+            fmt_info = (tag, ch, rate, bits)
+        elif cid == b"data":
+            if fmt_info is None:
+                return None
+            tag, ch, rate, bits = fmt_info
+            if tag not in (1, 3) or ch < 1 or rate < 1 or bits % 8:
+                return None
+            size = min(size, n - body)  # truncated file: decode what's there
+            bytes_per_frame = ch * (bits // 8)
+            if bytes_per_frame == 0:
+                return None
+            return (tag, ch, rate, bits, size // bytes_per_frame, body, size)
+        pos = body + size + (size & 1)
+    return None
+
+
+def decode_wav_samples(data: bytes):
+    """(header, interleaved int samples) or None. PCM8 is unsigned per
+    the spec (rebased to signed); PCM16/24/32 little-endian signed;
+    float32/64 scaled to the 16-bit grid for a common integer domain."""
+    hdr = parse_wav(data)
+    if hdr is None:
+        return None
+    tag, ch, rate, bits, n_frames, off, size = hdr
+    raw = data[off : off + size]
+    width = bits // 8
+    raw = raw[: (len(raw) // width) * width]  # truncated tail: whole samples
+    if tag == 1 and bits == 16:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif tag == 1 and bits == 8:
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    elif tag == 1 and bits == 32:
+        s = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+    elif tag == 1 and bits == 24:
+        b = np.frombuffer(raw[: (len(raw) // 3) * 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        s = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        s -= (s & 0x800000) << 1  # sign-extend
+    elif tag == 3 and bits in (32, 64):
+        f = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
+        s = np.clip(np.rint(f * 32768.0), -32768, 32767).astype(np.int64)
+    else:
+        return None
+    usable = (len(s) // ch) * ch
+    return hdr, s[:usable]
+
+
+_FULL_SCALE = {8: 128.0, 16: 32768.0, 24: 8388608.0, 32: 2147483648.0}
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zcr", DoubleType(), True),
+    ]
+)
+
+
+def _features_row(doc_id: int, data) -> dict:
+    null = {
+        "doc_id": doc_id,
+        "sample_rate": None,
+        "channels": None,
+        "bits": None,
+        "n_frames": None,
+        "duration_s": None,
+        "rms": None,
+        "peak": None,
+        "zcr": None,
+    }
+    if data is None:
+        return null
+    dec = decode_wav_samples(bytes(data))
+    if dec is None:
+        return null
+    (tag, ch, rate, bits, n_frames, _, _), s = dec
+    scale = _FULL_SCALE.get(bits if tag == 1 else 16, 32768.0)
+    # integer-exact accumulations; ONE float divide/sqrt at the end so
+    # the DuckDB oracle (same integer sums) reproduces bit-for-bit
+    if len(s):
+        # integer dot is int64-exact for <=16-bit samples (s^2 <= 2^30);
+        # wider samples would overflow int64, so they accumulate in
+        # float64 (the oracle fixture is PCM16, the exact path)
+        if bits <= 16 or tag == 3:
+            ss = int(np.dot(s, s))
+        else:
+            ss = float(np.dot(s.astype(np.float64), s.astype(np.float64)))
+        rms = float(np.sqrt(ss / (len(s) * scale * scale)))
+        peak = float(int(np.max(np.abs(s))) / scale)
+    else:
+        rms, peak = 0.0, 0.0
+    c0 = s[::ch]
+    if len(c0) > 1:
+        nonneg = c0 >= 0
+        zcr = float(int(np.sum(nonneg[1:] != nonneg[:-1])) / (len(c0) - 1))
+    else:
+        zcr = 0.0
+    return {
+        "doc_id": doc_id,
+        "sample_rate": rate,
+        "channels": ch,
+        "bits": bits,
+        "n_frames": n_frames,
+        # raw IEEE doubles, no rounding: every accumulation is integer-
+        # exact and the final divide/sqrt are single correctly-rounded
+        # ops, so the oracle's identical expressions are bit-identical
+        "duration_s": n_frames / rate,
+        "rms": rms,
+        "peak": peak,
+        "zcr": zcr,
+    }
+
+
+def decode_audio_features(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-sample audio decode -> one narrow feature row per payload.
+
+    Arrow-batched ``mapInPandas`` on the scan layout (bytes never
+    shuffle); malformed/non-WAV payloads yield null features instead of
+    failing the stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame.from_records(
+                [
+                    _features_row(int(d), v)
+                    for d, v in zip(b[id_col], b[data_col])
+                ],
+                columns=[f.name for f in _FEATURES_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+_WINDOWS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("start_s", DoubleType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("peak", DoubleType(), False),
+    ]
+)
+
+
+def audio_frame_windows(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "doc_id",
+    window_frames: int = 160,
+) -> DataFrame:
+    """Fixed-length analysis windows (default 160 frames = 20 ms at
+    8 kHz) with per-window RMS/peak over all channels — the audio
+    frame-sampler. Emits only decoded windows; undecodable payloads
+    emit nothing (the feature stage reports those as nulls)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, v in zip(b[id_col], b[data_col]):
+                dec = decode_wav_samples(bytes(v)) if v is not None else None
+                if dec is None:
+                    continue
+                (tag, ch, rate, bits, n_frames, _, _), s = dec
+                scale = _FULL_SCALE.get(bits if tag == 1 else 16, 32768.0)
+                step = window_frames * ch
+                exact = bits <= 16 or tag == 3
+                for w in range(0, (len(s) + step - 1) // step):
+                    seg = s[w * step : (w + 1) * step]
+                    ss = (
+                        int(np.dot(seg, seg))
+                        if exact
+                        else float(np.dot(seg.astype(np.float64), seg.astype(np.float64)))
+                    )
+                    rows.append(
+                        {
+                            "doc_id": int(d),
+                            "window_idx": w,
+                            "start_s": w * window_frames / rate,
+                            "rms": float(np.sqrt(ss / (len(seg) * scale * scale))),
+                            "peak": float(int(np.max(np.abs(seg))) / scale),
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in _WINDOWS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=_WINDOWS_SCHEMA)
+
+
+def synth_wav_frame(doc_id_series: pd.Series) -> pd.Series:
+    """Vectorized fixture synth: WAV bytes per doc_id with geometry
+    ``frames = 400 + id%600, rate = 8000*(1 + id%2), channels = 1 + id%2``
+    (the geometry the battery oracle replays)."""
+    return pd.Series(
+        [
+            synth_wav_pcm16(
+                int(i),
+                400 + int(i) % 600,
+                8000 * (1 + int(i) % 2),
+                1 + int(i) % 2,
+            )
+            for i in doc_id_series
+        ]
+    )
+
+
+def with_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic WAV payload column (fixture stage)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return synth_wav_frame(ids)
+
+    return df.withColumn("data", _synth(F.col(id_col)))

@@ -16,6 +16,12 @@ real and tested. Decode capability is split honestly:
   fake features derived from the bytes, or ``NotImplementedError``
   when ``strict=True`` (the clearly-marked stub a PIL/ffmpeg decoder
   drops into).
+
+The AUDIO modality needs no codec library at all — see
+``operators/audio.py`` for a REAL end-to-end WAV/RIFF PCM decoder
+(header walk + numpy sample decode, 8/16/24/32-bit int + IEEE float)
+with full-sample features and frame windows, oracle-checked
+bit-for-bit (battery ``audio_wav_decode`` / ``audio_frame_windows``).
 """
 
 from __future__ import annotations

@@ -1963,3 +1963,107 @@ def q_span_dedup(spark, sf_dir):
         ).alias("text"),
     )
     return strip_duplicate_spans(docs, window=_SPAN_W)
+
+
+# -------------------------------------------------------------------------
+# REAL audio decode (WAV/RIFF PCM) — multimodal tier, no media libraries
+# -------------------------------------------------------------------------
+
+# geometry + sample formula shared verbatim with operators/audio.py:
+# frames = 400 + id%600, rate = 8000*(1+id%2), channels = 1+id%2,
+# s(i) = ((id*2654435761 + i*40503) % 65536) - 32768  (interleaved)
+_WAV_GEO_SQL = """
+    geo AS (
+      SELECT doc_id,
+             400 + doc_id % 600 AS frames,
+             8000 * (1 + doc_id % 2) AS rate,
+             1 + (doc_id % 2) AS ch
+      FROM documents WHERE doc_id < 64
+    ),
+    samples AS (
+      SELECT g.doc_id, g.frames, g.rate, g.ch, t.i,
+             ((g.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS s
+      FROM geo g, unnest(generate_series(0, g.frames * g.ch - 1)) AS t(i)
+    )
+"""
+
+
+@q(
+    "audio_wav_decode",
+    # The oracle never sees WAV bytes: it replays the PCM sample formula
+    # in pure integer SQL and computes the same features with the same
+    # expression shapes (integer sums -> one double divide -> sqrt), so
+    # the engine's synth -> RIFF container -> full-sample decode ->
+    # features loop must reproduce it bit-for-bit.
+    f"""
+    WITH {_WAV_GEO_SQL},
+    agg AS (
+      SELECT doc_id, frames, rate, ch,
+             sum(s * s) AS ss, max(abs(s)) AS pk, count(*) AS n
+      FROM samples GROUP BY doc_id, frames, rate, ch
+    ),
+    chan0 AS (
+      SELECT doc_id,
+             sum(CASE WHEN (s >= 0) <> (prev >= 0) THEN 1 ELSE 0 END) AS cross_n
+      FROM (
+        SELECT doc_id, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samples WHERE i % ch = 0
+      ) WHERE prev IS NOT NULL
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           a.rate::INT AS sample_rate,
+           a.ch::INT AS channels,
+           16 AS bits,
+           a.frames::BIGINT AS n_frames,
+           a.frames / a.rate::DOUBLE AS duration_s,
+           sqrt(a.ss / (a.n * 32768.0 * 32768.0)) AS rms,
+           a.pk / 32768.0 AS peak,
+           coalesce(c.cross_n, 0) / (a.frames - 1)::DOUBLE AS zcr
+    FROM agg a LEFT JOIN chan0 c USING (doc_id)
+    """,
+)
+def q_audio_wav_decode(spark, sf_dir):
+    """Full-sample WAV decode: synthesize a real PCM16 RIFF container
+    per doc (stereo for odd ids — exercises channel interleave), decode
+    every sample back in one Arrow stage, emit duration/RMS/peak/
+    channel-0 zero-crossing rate (operators/audio.py)."""
+    from ..operators.audio import decode_audio_features, with_synth_wav
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return decode_audio_features(with_synth_wav(docs))
+
+
+@q(
+    "audio_frame_windows",
+    f"""
+    WITH {_WAV_GEO_SQL},
+    win AS (
+      SELECT doc_id, rate, ch, (i // (160 * ch))::INT AS window_idx,
+             s, i
+      FROM samples
+    ),
+    agg AS (
+      SELECT doc_id, rate, window_idx,
+             sum(s * s) AS ss, max(abs(s)) AS pk, count(*) AS n
+      FROM win GROUP BY doc_id, rate, window_idx
+    )
+    SELECT doc_id, window_idx,
+           window_idx * 160 / rate::DOUBLE AS start_s,
+           sqrt(ss / (n * 32768.0 * 32768.0)) AS rms,
+           pk / 32768.0 AS peak
+    FROM agg
+    """,
+)
+def q_audio_frame_windows(spark, sf_dir):
+    """Fixed 160-frame analysis windows over decoded PCM — the audio
+    frame-sampler: per-window RMS/peak, start offset in seconds."""
+    from ..operators.audio import audio_frame_windows, with_synth_wav
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return audio_frame_windows(with_synth_wav(docs), window_frames=160)
