@@ -2067,3 +2067,83 @@ def q_audio_frame_windows(spark, sf_dir):
         "doc_id"
     )
     return audio_frame_windows(with_synth_wav(docs), window_frames=160)
+
+
+# -------------------------------------------------------------------------
+# REAL pixel decode (BMP BI_RGB) + GIF frame-structure walk — codec-free
+# -------------------------------------------------------------------------
+
+
+@q(
+    "bmp_pixel_decode",
+    # The oracle replays the synth's linear-offset byte formula
+    # (byte[j] = (id*2654435761 + j*40503) % 256 over the padded pixel
+    # array; pixel (r,c,k) at j = r*stride + c*ch + k) and aggregates
+    # integer channel sums -> one double divide, never parsing a BMP.
+    """
+    WITH geo AS (
+      SELECT doc_id,
+             16 + doc_id % 17 AS w,
+             8 + doc_id % 13 AS h,
+             (24 + 8 * (doc_id % 2)) // 8 AS ch
+      FROM documents WHERE doc_id < 64
+    ),
+    geo2 AS (SELECT *, ((w * ch + 3) // 4) * 4 AS stride FROM geo),
+    px AS (
+      SELECT g.doc_id, g.w, g.h, g.ch, k.k,
+             sum((g.doc_id * 2654435761
+                  + (r.r * g.stride + c.c * g.ch + k.k) * 40503) % 256) AS s
+      FROM geo2 g,
+           unnest(generate_series(0, g.h - 1)) AS r(r),
+           unnest(generate_series(0, g.w - 1)) AS c(c),
+           unnest(generate_series(0, g.ch - 1)) AS k(k)
+      GROUP BY g.doc_id, g.w, g.h, g.ch, k.k
+    )
+    SELECT doc_id,
+           w::INT AS width, h::INT AS height, (ch * 8)::INT AS bpp,
+           max(CASE WHEN k = 0 THEN s END) / (w * h)::DOUBLE AS mean_b,
+           max(CASE WHEN k = 1 THEN s END) / (w * h)::DOUBLE AS mean_g,
+           max(CASE WHEN k = 2 THEN s END) / (w * h)::DOUBLE AS mean_r,
+           max(CASE WHEN k = 3 THEN s END) / (w * h)::DOUBLE AS mean_a
+    FROM px GROUP BY doc_id, w, h, ch
+    """,
+)
+def q_bmp_pixel_decode(spark, sf_dir):
+    """REAL pixel decode, no media library: synthesize a bottom-up
+    BI_RGB BMP per doc (32-bit BGRA for odd ids), recover the full
+    pixel array (row padding, vertical flip) and emit integer-exact
+    per-channel means (operators/rawmedia.py)."""
+    from ..operators.rawmedia import decode_bmp_features, with_synth_bmp
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return decode_bmp_features(with_synth_bmp(docs))
+
+
+@q(
+    "gif_frame_index",
+    """
+    WITH geo AS (
+      SELECT doc_id, 1 + doc_id % 5 AS nf FROM documents WHERE doc_id < 64
+    )
+    SELECT g.doc_id,
+           f.f::INT AS frame_idx,
+           (f.f % 5)::INT AS x,
+           ((f.f * 2) % 5)::INT AS y,
+           (4 + (g.doc_id + f.f) % 9)::INT AS w,
+           (3 + (g.doc_id * 3 + f.f) % 7)::INT AS h,
+           (3 + (g.doc_id * 7 + f.f) % 12)::INT AS delay_cs
+    FROM geo g, unnest(generate_series(0, g.nf - 1)) AS f(f)
+    """,
+)
+def q_gif_frame_index(spark, sf_dir):
+    """GIF frame-structure walk (no LZW decode needed or claimed): one
+    row per image descriptor with position, size, and the preceding
+    Graphic Control Extension's delay — the frame-sampling index."""
+    from ..operators.rawmedia import gif_frame_index, with_synth_gif
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return gif_frame_index(with_synth_gif(docs))
