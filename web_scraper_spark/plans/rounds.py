@@ -1015,6 +1015,18 @@ class CrawlEngine:
             )
             return time.monotonic() - tb
 
+        # discovery count rides the state write as an OBSERVATION —
+        # previously a separate count job that re-scanned the entire
+        # just-written snapshot (frontier-proportional: a full-table
+        # scan per round at 10^10 rows). Observed metrics are computed
+        # by the write's own tasks for free.
+        from pyspark.sql import Observation
+
+        disc_obs = Observation(f"discoveries_r{round_id}")
+        _disc_expr = F.sum(
+            F.when(F.col("discovery_round") == round_id, 1).otherwise(0)
+        ).alias("n")
+
         bloom_merge_s = 0.0
         if mor_delta_round:
             # ORDER MATTERS: commit the seen-bloom BEFORE the delta
@@ -1049,6 +1061,7 @@ class CrawlEngine:
                 )
                 .unionByName(discoveries)
                 .withColumn("round_id", F.lit(round_id))
+                .observe(disc_obs, _disc_expr)
             )
             self.catalog.write_round_partition("frontier_delta", delta)
         else:
@@ -1071,6 +1084,7 @@ class CrawlEngine:
                 .drop("__rb")
                 .select(*FRONTIER_COLS)
                 .unionByName(discoveries)
+                .observe(disc_obs, _disc_expr)
             )
             self.catalog.write_snapshot(
                 "frontier",
@@ -1110,21 +1124,9 @@ class CrawlEngine:
             .agg(F.sum("n").alias("n"))
             .collect()
         }
-        if mor_delta_round:
-            n_discovered = (
-                self.catalog.read_log("frontier_delta")
-                .filter(
-                    (F.col("round_id") == round_id)
-                    & (F.col("discovery_round") == round_id)
-                )
-                .count()
-            )
-        else:
-            n_discovered = (
-                self.catalog.read("frontier", version=round_id)
-                .filter(F.col("discovery_round") == round_id)
-                .count()
-            )
+        # collected by the state write's own tasks (Observation above);
+        # None only when the write produced zero rows
+        n_discovered = int(disc_obs.get["n"] or 0)
         counts = {
             "selected": sum(
                 v for k, v in status_totals.items() if k != "robots"
