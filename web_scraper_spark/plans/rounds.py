@@ -32,7 +32,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import canonicalize_url, host_bucket, url_hash
@@ -913,6 +913,17 @@ class CrawlEngine:
             )
         )
         _section("revisit_stats")
+        # status totals ride the log write as an observation (the A6
+        # scalar counts previously re-read the written metrics table —
+        # one more sequential driver job per round)
+        status_obs = Observation(f"statuses_r{round_id}")
+        log = log.observe(
+            status_obs,
+            *[
+                F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+                for s in ("success", "empty", "error", "robots")
+            ],
+        )
         self.catalog.write_round_partition("fetch_log", log)
         _section("fetch_log_write")
 
@@ -1020,8 +1031,6 @@ class CrawlEngine:
         # just-written snapshot (frontier-proportional: a full-table
         # scan per round at 10^10 rows). Observed metrics are computed
         # by the write's own tasks for free.
-        from pyspark.sql import Observation
-
         disc_obs = Observation(f"discoveries_r{round_id}")
         _disc_expr = F.sum(
             F.when(F.col("discovery_round") == round_id, 1).otherwise(0)
@@ -1116,13 +1125,9 @@ class CrawlEngine:
         )
         self.catalog.write_round_partition("metrics", per_host)
 
+        # collected by the fetch-log write's tasks (Observation above)
         status_totals = {
-            r["status"]: r["n"]
-            for r in self.catalog.read_log("metrics")
-            .filter(F.col("round_id") == round_id)
-            .groupBy("status")
-            .agg(F.sum("n").alias("n"))
-            .collect()
+            k: int(v or 0) for k, v in status_obs.get.items()
         }
         # collected by the state write's own tasks (Observation above);
         # None only when the write produced zero rows
