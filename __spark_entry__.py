@@ -113,15 +113,6 @@ _CHECK_FIRST = [
     "mixture_sample",
     "source_quality_gate",
     "span_dedup",
-    # green in r2 only — fell past the r3 window
-    "cosine_topk",
-    "dedup_embedding_neardup",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frames",
-    "events_hour_window",
     # new in round 4 → need their first driver check
     "image_header_decode",
     "content_extract",
@@ -137,11 +128,6 @@ _CHECK_FIRST = [
     "hits_scores",
     "bm25_topk",
     "robots_sitemap_discovery",
-    # operators changed in round 4 (robots path+query target, octet
-    # specificity, domain-grain budget) → need a fresh green row
-    "robots_filter",
-    "robots_wildcard",
-    "politeness_budget",
     # new in round 4 (second batch) → need their first driver check
     "session_windows",
     "bigram_lm_score",
@@ -155,14 +141,38 @@ _CHECK_FIRST = [
     "focus_scores",
     "c4_filters",
     "gopher_filters",
-    # ---- window boundary (~50): everything below holds an
-    # unchanged-code green row from r2/r3 (COVERAGE.md ledger) or is
-    # queued FIRST for the round-5 rotation (new late-r4 operators) ----
+    # new in round 4 (fourth batch: frontier scoring + raw media)
     "trustrank_scores",
     "spam_mass_hosts",
     "opic_scores",
     "domain_split",
     "budget_allocation",
+    "audio_wav_decode",
+    "audio_frame_windows",
+    "bmp_pixel_decode",
+    "gif_frame_index",
+    # operator rewritten in round 4 (ADVICE: robots path+query match
+    # target, octet specificity) → its r2/r3 green rows no longer vouch;
+    # robots_wildcard is the strictest exercise of the new matcher
+    "robots_wildcard",
+    # streaming-semantics representative, kept inside the window
+    # (verdict r3 item #7); the streaming gate changed in r3 (d990d92)
+    "events_hour_window",
+    # ---- window boundary (50): everything below holds a green driver
+    # row from r2/r3 (COVERAGE.md ledger per-entry rounds). Queued FIRST
+    # for the round-5 rotation: the similarity/multimodal group (code
+    # changed after their r2 rows) and robots_filter/politeness_budget
+    # (ADVICE rewrites; pinned meanwhile by pytest parity twins and the
+    # local 109/109 check_correctness run) ----
+    "cosine_topk",
+    "dedup_embedding_neardup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frames",
+    "robots_filter",
+    "politeness_budget",
     "pricing_summary",
     "top_revenue_orders",
     "nation_volume",
