@@ -1,24 +1,34 @@
 """Codec-free real decode (operators/rawmedia.py): BMP pixel recovery
-(padding, vertical flip, 24/32-bit) and GIF frame-structure walking
-(extensions, color tables, truncation), plus the Spark stages."""
+(padding, vertical flip, 24/32-bit), PNG full decode (zlib inflate +
+all five spec §9 filters, CRC verification, truncation), and GIF
+frame-structure walking (extensions, color tables, truncation), plus
+the Spark stages."""
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 from pyspark.sql import functions as F
 
 from web_scraper_spark.operators.rawmedia import (
+    _MULT,
+    _STRIDE,
     decode_bmp_features,
     decode_bmp_pixels,
+    decode_png_features,
+    decode_png_pixels,
     gif_frame_index,
     gif_frames,
     parse_bmp,
+    parse_png,
     synth_bmp,
     synth_gif,
+    synth_png,
     with_synth_bmp,
     with_synth_gif,
+    with_synth_png,
 )
 
 
@@ -134,3 +144,80 @@ def test_gif_stage_rows_and_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan2
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    # geometry sweep covers grey/grey+A/RGB/RGBA and, with h >= 5 and
+    # filter type = (id + row) % 5, every spec filter in every image
+    for doc_id in range(40):
+        w, h, ch = 9 + doc_id % 14, 5 + doc_id % 11, 1 + doc_id % 4
+        px = decode_png_pixels(synth_png(doc_id, w, h, ch))
+        assert px is not None and px.shape == (h, w, ch)
+        j = np.arange(h * w * ch, dtype=np.int64)
+        want = ((doc_id * _MULT + j * _STRIDE) % 256).astype(np.uint8)
+        assert np.array_equal(px, want.reshape(h, w, ch)), doc_id
+
+
+def test_png_parse_validates_structure():
+    d = synth_png(3, 10, 6, 3)
+    hdr = parse_png(d)
+    assert hdr is not None and hdr[:2] == (10, 6) and hdr[4] == 3
+    # two IDAT chunks really are emitted and concatenated
+    assert d.count(b"IDAT") == 2
+    assert parse_png(b"") is None
+    assert parse_png(b"\x89PNG\r\n\x1a\n" + bytes(30)) is None
+    # CRC corruption anywhere -> reject
+    corrupt = bytearray(d)
+    corrupt[40] ^= 0xFF
+    assert parse_png(bytes(corrupt)) is None
+    # interlaced / 16-bit / palette IHDRs are honestly refused
+    for patch in ((28, 1), (24, 16), (25, 3)):  # interlace, depth, color
+        b = bytearray(d)
+        b[patch[0]] = patch[1]
+        body = bytes(b[16:29])
+        b[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body))
+        assert parse_png(bytes(b)) is None
+
+
+def test_png_truncation_semantics():
+    d = synth_png(7, 12, 8, 4)
+    # trailer-tolerant: complete IDAT decodes without IEND
+    assert decode_png_pixels(d[:-7]) is not None
+    # truncation inside a chunk -> None (CRC can't verify)
+    assert decode_png_pixels(d[:60]) is None
+    # inflate error: valid chunk framing around garbage IDAT
+    from web_scraper_spark.operators.rawmedia import _PNG_SIG, _png_chunk
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\x00not-zlib")
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(bad) is None
+
+
+def test_png_stage_features_match_numpy(spark):
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = decode_png_features(with_synth_png(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 24
+    for d in range(24):
+        w, h, ch = 9 + d % 14, 5 + d % 11, 1 + d % 4
+        px = decode_png_pixels(synth_png(d, w, h, ch))
+        r = rows[d]
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        for k in range(4):
+            got = getattr(r, f"mean_c{k}")
+            if k < ch:
+                want = px[:, :, k].astype(np.int64).sum() / (w * h)
+                assert got == want  # integer-exact, no float drift
+            else:
+                assert got is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -17,15 +17,17 @@ real and tested. Decode capability is split honestly:
   when ``strict=True`` (the clearly-marked stub a PIL/ffmpeg decoder
   drops into).
 
-Three modalities need no codec library at all and are REAL end-to-end
+Four modalities need no codec library at all and are REAL end-to-end
 decodes (oracle-checked bit-for-bit), shrinking the stub surface to
-formats that genuinely need one (JPEG/PNG pixel data, video codecs):
+formats that genuinely need one (JPEG pixel data, video codecs):
 
 - audio: ``operators/audio.py`` — full WAV/RIFF PCM decode
   (8/16/24/32-bit int + IEEE float), sample features, frame windows
   (battery ``audio_wav_decode`` / ``audio_frame_windows``);
 - image pixels: ``operators/rawmedia.py:decode_bmp_features`` — BI_RGB
-  BMP pixel recovery with exact channel stats (``bmp_pixel_decode``);
+  BMP pixel recovery with exact channel stats (``bmp_pixel_decode``) —
+  and ``decode_png_features``: full PNG decode via stdlib zlib + the
+  five spec §9 scanline filters (``png_pixel_decode``);
 - animation frames: ``operators/rawmedia.py:gif_frame_index`` — GIF
   frame-structure walk with per-frame geometry + delays
   (``gif_frame_index``).

@@ -1,16 +1,22 @@
 """REAL pixel + frame-structure decode for codec-free image formats.
 
-Companion to ``operators/audio.py`` (real WAV/PCM decode): two more
-modalities where the published container layout alone is a complete
-decoder, shrinking the honest stub surface of
-``operators/multimodal.py`` to formats that genuinely need a codec
-(JPEG/PNG pixel data, video):
+Companion to ``operators/audio.py`` (real WAV/PCM decode): three more
+modalities where the published container layout plus the standard
+library alone are a complete decoder, shrinking the honest stub
+surface of ``operators/multimodal.py`` to formats that genuinely need
+a codec (JPEG pixel data, video):
 
 - **BMP (Windows DIB, BI_RGB)** — uncompressed 24/32-bit pixels are raw
   bytes behind a fixed header: ``parse_bmp`` + ``decode_bmp_pixels``
   recover the full pixel array (bottom-up row order, 4-byte row
   padding), and ``decode_bmp_features`` emits dimensions + integer-
   exact per-channel means. This is real PIXEL decode, no stand-in.
+- **PNG (8-bit, non-interlaced)** — the "codec" is zlib (stdlib) plus
+  the five published scanline filters (None/Sub/Up/Average/Paeth,
+  PNG spec §9): ``decode_png_pixels`` walks the chunk stream,
+  inflates the concatenated IDAT payload, and inverts the per-row
+  filters to recover the exact pixel array for greyscale, grey+alpha,
+  truecolor, and truecolor+alpha. Real full decode, no media library.
 - **GIF (87a/89a) frame structure** — pixel data is LZW (needs a
   codec) but the FRAME STRUCTURE is length-prefixed and walkable
   without decoding: ``gif_frames`` enumerates every image descriptor
@@ -30,6 +36,7 @@ seeing a container.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -49,6 +56,10 @@ __all__ = [
     "parse_bmp",
     "decode_bmp_pixels",
     "decode_bmp_features",
+    "synth_png",
+    "parse_png",
+    "decode_png_pixels",
+    "decode_png_features",
     "synth_gif",
     "gif_frames",
     "gif_frame_index",
@@ -178,6 +189,279 @@ def decode_bmp_features(
             )
 
     return df.mapInPandas(run, schema=_BMP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG — real full pixel decode (8-bit, non-interlaced; zlib + spec §9
+# filters, no media library)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channel count (8-bit, no palette: indexed needs PLTE
+# semantics we honestly don't model)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over recon arrays."""
+    ai, bi, ci = (x.astype(np.int32) for x in (a, b, c))
+    p = ai + bi - ci
+    pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_filter_row(
+    ft: int, line: np.ndarray, prev: np.ndarray, ch: int
+) -> np.ndarray:
+    """Forward-apply filter ``ft`` to a recon row (synth side). All five
+    predictors vectorize forward because every recon value is known."""
+    if ft == 0:
+        return line
+    left = np.zeros_like(line)
+    left[ch:] = line[:-ch]
+    if ft == 1:
+        return line - left
+    if ft == 2:
+        return line - prev
+    if ft == 3:
+        return line - (
+            (left.astype(np.int32) + prev.astype(np.int32)) // 2
+        ).astype(np.uint8)
+    ul = np.zeros_like(prev)
+    ul[ch:] = prev[:-ch]
+    return line - _paeth_vec(left, prev, ul).astype(np.uint8)
+
+
+def synth_png(doc_id: int, width: int, height: int, channels: int = 3) -> bytes:
+    """A valid non-interlaced 8-bit PNG whose UNFILTERED pixel array is
+    ``byte[j] = (doc_id*2654435761 + j*40503) % 256`` over the linear
+    pixel offset ``j = (row*width + col)*channels + k`` — replayable in
+    pure integer SQL. Row ``r`` is stored with REAL filter type
+    ``(doc_id + r) % 5``, so a decoder only recovers the formula bytes
+    by correctly inverting Sub/Up/Average/Paeth. The IDAT stream is
+    split into two chunks to exercise concatenation."""
+    ch = channels
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = width * ch
+    j = np.arange(height * stride, dtype=np.int64)
+    px = ((doc_id * _MULT + j * _STRIDE) % 256).astype(np.uint8)
+    px = px.reshape(height, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        ft = (doc_id + r) % 5
+        raw.append(ft)
+        raw += _png_filter_row(ft, px[r], prev, ch).tobytes()
+        prev = px[r]
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    half = max(1, len(comp) // 2)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(data: bytes):
+    """-> (width, height, bit_depth, color_type, channels, idat_bytes)
+    or None. Walks the length-prefixed chunk stream, verifying each
+    CRC; accepts what the decoder below can honestly decode: bit depth
+    8, color types 0/2/4/6, interlace 0. Like ``gif_frames`` it
+    tolerates a truncated trailer — a complete IDAT stream decodes even
+    when IEND is cut off; truncation or corruption inside any chunk
+    returns None."""
+    n = len(data)
+    if n < 8 + 25 or data[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    hdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        body_end = pos + 8 + length
+        if body_end + 4 > n:
+            return None  # truncated chunk
+        body = data[pos + 8 : body_end]
+        crc = int.from_bytes(data[body_end : body_end + 4], "big")
+        if zlib.crc32(tag + body) != crc:
+            return None
+        if tag == b"IHDR":
+            if pos != 8 or length != 13:
+                return None
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (
+                depth != 8
+                or color not in _PNG_CHANNELS
+                or comp != 0
+                or filt != 0
+                or interlace != 0
+                or w == 0
+                or h == 0
+            ):
+                return None
+            hdr = (w, h, depth, color)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos = body_end + 4
+    if hdr is None or not idat:
+        return None
+    w, h, depth, color = hdr
+    return w, h, depth, color, _PNG_CHANNELS[color], bytes(idat)
+
+
+def decode_png_pixels(data: bytes):
+    """-> uint8 array of shape (height, width, channels) in the spec's
+    channel order (R,G,B[,A] / grey[,A]), or None. Inflates IDAT and
+    inverts the per-row filter (spec §9): Sub is a per-lane cumulative
+    sum, Up a vector add; Average and Paeth carry a true sequential
+    data dependency along x (as in every conforming decoder) and run
+    per-byte within the row."""
+    hdr = parse_png(data)
+    if hdr is None:
+        return None
+    w, h, _depth, _color, ch, idat = hdr
+    stride = w * ch
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + stride):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos)
+        pos += stride
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 1:  # Sub: cumulative sum within each byte lane
+            rec = (
+                line.reshape(w, ch)
+                .astype(np.int64)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ft == 2:  # Up: uint8 add wraps mod 256
+            rec = line + prev
+        elif ft == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            return None
+        out[r] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+_PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("mean_c0", DoubleType(), True),
+        StructField("mean_c1", DoubleType(), True),
+        StructField("mean_c2", DoubleType(), True),
+        StructField("mean_c3", DoubleType(), True),
+    ]
+)
+
+
+def decode_png_features(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real PNG pixel statistics: dimensions + per-channel means with
+    integer-exact sums, channels in storage order (c0=R/grey)."""
+
+    def row(doc_id: int, v) -> dict:
+        null = dict.fromkeys(
+            ("width", "height", "channels", "mean_c0", "mean_c1", "mean_c2", "mean_c3")
+        )
+        null["doc_id"] = doc_id
+        if v is None:
+            return null
+        px = decode_png_pixels(bytes(v))
+        if px is None:
+            return null
+        h, w, ch = px.shape
+        n = h * w
+        sums = px.reshape(n, ch).astype(np.int64).sum(axis=0)
+        out = {
+            "doc_id": doc_id,
+            "width": w,
+            "height": h,
+            "channels": ch,
+            "mean_c0": None,
+            "mean_c1": None,
+            "mean_c2": None,
+            "mean_c3": None,
+        }
+        for k in range(ch):
+            out[f"mean_c{k}"] = int(sums[k]) / n
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame.from_records(
+                [row(int(d), v) for d, v in zip(b[id_col], b[data_col])],
+                columns=[f.name for f in _PNG_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(run, schema=_PNG_SCHEMA)
+
+
+def with_synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage: PNG payload with geometry
+    ``w = 9 + id%14, h = 5 + id%11, channels = 1 + id%4`` (covers
+    grey, grey+alpha, RGB, RGBA and, via h>=5, all five filters)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synth_png(
+                    int(i), 9 + int(i) % 14, 5 + int(i) % 11, 1 + int(i) % 4
+                )
+                for i in ids
+            ]
+        )
+
+    return df.withColumn("data", _synth(F.col(id_col)))
 
 
 # ---------------------------------------------------------------------------

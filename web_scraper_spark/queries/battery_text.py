@@ -2122,6 +2122,56 @@ def q_bmp_pixel_decode(spark, sf_dir):
 
 
 @q(
+    "png_pixel_decode",
+    # The oracle replays the synth's linear-offset byte formula over
+    # the UNFILTERED pixel array (byte[j] = (id*2654435761 + j*40503)
+    # % 256, j = (r*w + c)*ch + k) and aggregates integer channel sums
+    # -> one double divide. The engine only matches by genuinely
+    # inflating IDAT and inverting the per-row Sub/Up/Average/Paeth
+    # filters (row r carries filter (id + r) % 5), so the SQL twin is
+    # blind to the container while pinning the full decode.
+    """
+    WITH geo AS (
+      SELECT doc_id,
+             9 + doc_id % 14 AS w,
+             5 + doc_id % 11 AS h,
+             1 + doc_id % 4 AS ch
+      FROM documents WHERE doc_id < 64
+    ),
+    px AS (
+      SELECT g.doc_id, g.w, g.h, g.ch, k.k,
+             sum((g.doc_id * 2654435761
+                  + ((r.r * g.w + c.c) * g.ch + k.k) * 40503) % 256) AS s
+      FROM geo g,
+           unnest(generate_series(0, g.h - 1)) AS r(r),
+           unnest(generate_series(0, g.w - 1)) AS c(c),
+           unnest(generate_series(0, g.ch - 1)) AS k(k)
+      GROUP BY g.doc_id, g.w, g.h, g.ch, k.k
+    )
+    SELECT doc_id,
+           w::INT AS width, h::INT AS height, ch::INT AS channels,
+           max(CASE WHEN k = 0 THEN s END) / (w * h)::DOUBLE AS mean_c0,
+           max(CASE WHEN k = 1 THEN s END) / (w * h)::DOUBLE AS mean_c1,
+           max(CASE WHEN k = 2 THEN s END) / (w * h)::DOUBLE AS mean_c2,
+           max(CASE WHEN k = 3 THEN s END) / (w * h)::DOUBLE AS mean_c3
+    FROM px GROUP BY doc_id, w, h, ch
+    """,
+)
+def q_png_pixel_decode(spark, sf_dir):
+    """REAL full PNG decode, no media library (operators/rawmedia.py):
+    synthesize an 8-bit PNG per doc (grey/grey+A/RGB/RGBA by id, every
+    row a real spec filter), inflate + unfilter to the exact pixel
+    array, and emit integer-exact per-channel means."""
+    from ..operators.rawmedia import decode_png_features, with_synth_png
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return decode_png_features(with_synth_png(docs))
+
+
+
+@q(
     "gif_frame_index",
     """
     WITH geo AS (
