@@ -221,3 +221,96 @@ def test_png_stage_features_match_numpy(spark):
                 assert got is None
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# GIF full pixel decode (real LZW)
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_roundtrip_growth_and_reset():
+    from web_scraper_spark.operators.rawmedia import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(11)
+    for mcs in (2, 4, 8):
+        streams = [
+            [0] * 5000,                                   # max repetition
+            list(rng.integers(0, 1 << mcs, 20000)),       # forces table reset
+            list(range(1 << mcs)) * 40,                   # cycling alphabet
+            [],                                            # empty image data
+        ]
+        for s in streams:
+            enc = _lzw_encode(s, mcs)
+            assert _lzw_decode(enc, mcs) == [int(x) for x in s]
+    # truncated stream: decode keeps the prefix, never crashes
+    full = _lzw_encode(list(range(16)) * 30, 4)
+    part = _lzw_decode(full[: len(full) // 2], 4)
+    assert part is not None and len(part) < 480
+    # garbage codes -> honest None (first code out of range)
+    assert _lzw_decode(b"\xff\xff\xff", 2) is None
+
+
+def test_gif_pixel_decode_real_file_and_synth():
+    from web_scraper_spark.operators.rawmedia import (
+        _MULT,
+        _STRIDE,
+        gif_decode_pixels,
+        synth_gif_pixels,
+    )
+
+    # canonical 1x1 GIF89a with third-party LZW bytes -> one black pixel
+    px = gif_decode_pixels(_REAL_GIF)
+    assert px is not None and px.shape == (1, 1, 3)
+    assert px.tolist() == [[[0, 0, 0]]]
+    # synth round-trip: even ids sequential, odd ids interlaced
+    for d in (0, 1, 2, 3, 12, 13):
+        w, h = 9 + d % 14, 5 + d % 11
+        px = gif_decode_pixels(synth_gif_pixels(d, w, h))
+        assert px is not None and px.shape == (h, w, 3)
+        j = np.arange(h * w, dtype=np.int64)
+        idx = ((d * _MULT + j * _STRIDE) % 256).reshape(h, w)
+        want = np.stack(
+            [(idx * 7 + 3) % 256, (idx * 11 + 5) % 256, (idx * 13 + 9) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        assert np.array_equal(px, want), d
+
+
+def test_gif_pixel_decode_refusals():
+    from web_scraper_spark.operators.rawmedia import (
+        gif_decode_pixels,
+        synth_gif_pixels,
+    )
+
+    assert gif_decode_pixels(b"") is None
+    # frame index past the end
+    assert gif_decode_pixels(synth_gif_pixels(2, 6, 4), frame=1) is None
+    # structural synth_gif (filler sub-blocks, no color table) is not
+    # pixel-decodable: refuse rather than emit garbage
+    assert gif_decode_pixels(synth_gif(5, 2)) is None
+    # truncation inside the pixel data -> short index stream -> None
+    full = synth_gif_pixels(4, 12, 9)
+    assert gif_decode_pixels(full[: len(full) - 30]) is None
+
+
+def test_gif_pixel_stage_matches_local(spark):
+    from web_scraper_spark.operators.rawmedia import (
+        decode_gif_features,
+        gif_decode_pixels,
+        synth_gif_pixels,
+        with_synth_gif_pixels,
+    )
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = decode_gif_features(with_synth_gif_pixels(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 12
+    for d in range(12):
+        w, h = 9 + d % 14, 5 + d % 11
+        px = gif_decode_pixels(synth_gif_pixels(d, w, h)).astype(np.int64)
+        r = rows[d]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_r == int(px[:, :, 0].sum()) / (w * h)
+        assert r.mean_b == int(px[:, :, 2].sum()) / (w * h)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -28,9 +28,11 @@ formats that genuinely need one (JPEG pixel data, video codecs):
   BMP pixel recovery with exact channel stats (``bmp_pixel_decode``) —
   and ``decode_png_features``: full PNG decode via stdlib zlib + the
   five spec §9 scanline filters (``png_pixel_decode``);
-- animation frames: ``operators/rawmedia.py:gif_frame_index`` — GIF
+- animation: ``operators/rawmedia.py:gif_frame_index`` — GIF
   frame-structure walk with per-frame geometry + delays
-  (``gif_frame_index``).
+  (``gif_frame_index``) — and ``decode_gif_features``: full GIF pixel
+  decode (pure-Python LZW + palette + deinterlace,
+  ``gif_pixel_decode``).
 """
 
 from __future__ import annotations

@@ -17,13 +17,16 @@ a codec (JPEG pixel data, video):
   inflates the concatenated IDAT payload, and inverts the per-row
   filters to recover the exact pixel array for greyscale, grey+alpha,
   truecolor, and truecolor+alpha. Real full decode, no media library.
-- **GIF (87a/89a) frame structure** — pixel data is LZW (needs a
-  codec) but the FRAME STRUCTURE is length-prefixed and walkable
-  without decoding: ``gif_frames`` enumerates every image descriptor
-  (position, size) with its Graphic Control Extension delay/disposal —
-  the real frame-sampling index a video-adjacent pipeline needs
-  (which frames exist, where, how long) — and ``gif_frame_index``
-  exposes it as a Spark stage.
+- **GIF (87a/89a)** — two tiers. The FRAME STRUCTURE is
+  length-prefixed and walkable without decoding: ``gif_frames``
+  enumerates every image descriptor (position, size) with its Graphic
+  Control Extension delay/disposal — the real frame-sampling index a
+  video-adjacent pipeline needs — and ``gif_frame_index`` exposes it
+  as a Spark stage. And the pixels themselves: GIF's only codec is
+  LZW, a fully published algorithm (spec appendix F), so
+  ``gif_decode_pixels`` is a REAL full decode — variable-width
+  LSB-first LZW, color-table mapping, 4-pass deinterlacing — with an
+  ``_lzw_encode`` twin so round-trips exercise table growth and reset.
 
 Both stages are single Arrow ``mapInPandas`` passes on the scan layout:
 payload bytes never shuffle, outputs are narrow typed rows. Malformed
@@ -63,6 +66,9 @@ __all__ = [
     "synth_gif",
     "gif_frames",
     "gif_frame_index",
+    "synth_gif_pixels",
+    "gif_decode_pixels",
+    "decode_gif_features",
 ]
 
 # shared with operators/audio.py and the battery oracles
@@ -621,6 +627,305 @@ def with_synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series(
             [synth_gif(int(i), 1 + int(i) % 5) for i in ids]
+        )
+
+    return df.withColumn("data", _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# GIF — real FULL pixel decode: LZW (published algorithm, pure Python)
+# + palette mapping + deinterlacing. GIF needs no codec library either.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Real GIF-flavor LZW encoder (variable width, LSB-first): emits a
+    clear code first, grows the string table to 4095 and resets with a
+    clear code when full — so round-trips exercise the decoder's width
+    growth and table reset paths, not just literals."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    put(clear, width)
+    cur: tuple = ()
+    for sym in indices:
+        cand = cur + (int(sym),)
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        cur = (int(sym),)
+    if cur:
+        put(table[cur], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int):
+    """GIF LZW decode (spec appendix F): LSB-first variable-width codes,
+    KwKwK case, deferred-clear tolerance. -> list of indices or None."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    out: list[int] = []
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return out  # truncated stream: keep what decoded
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    """Undo GIF 4-pass interlacing: stored row k belongs at display row
+    order[k], where order enumerates the four (start, step) passes."""
+    h = rows.shape[0]
+    order = [r for start, step in _INTERLACE_PASSES for r in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def gif_decode_pixels(data: bytes, frame: int = 0):
+    """REAL full GIF decode of one frame -> uint8 (h, w, 3) RGB array,
+    or None. Walks the block structure like ``gif_frames``, then LZW-
+    decodes the target frame's sub-blocks, maps indices through the
+    active (local-else-global) color table, and deinterlaces when the
+    descriptor's interlace flag is set. Out-of-range indices or a
+    short index stream -> None (honest refusal, never garbage)."""
+    n = len(data)
+    if n < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    pos = 10
+    packed = data[pos]
+    pos += 3
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x7)
+        if pos + 3 * size > n:
+            return None
+        gct = np.frombuffer(data, np.uint8, 3 * size, pos).reshape(size, 3)
+        pos += 3 * size
+    fidx = -1
+    while pos < n:
+        b0 = data[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos += 2
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            if pos + 10 > n:
+                return None
+            _x, _y, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            packed_i = data[pos + 9]
+            pos += 10
+            lct = None
+            if packed_i & 0x80:
+                size = 2 << (packed_i & 0x7)
+                if pos + 3 * size > n:
+                    return None
+                lct = np.frombuffer(data, np.uint8, 3 * size, pos).reshape(size, 3)
+                pos += 3 * size
+            if pos >= n:
+                return None
+            mcs = data[pos]
+            pos += 1
+            blocks = bytearray()
+            while pos < n and data[pos] != 0:
+                ln = data[pos]
+                blocks += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            fidx += 1
+            if fidx != frame:
+                continue
+            palette = lct if lct is not None else gct
+            if palette is None or w == 0 or h == 0:
+                return None
+            idx = _lzw_decode(bytes(blocks), mcs)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if int(arr.max(initial=0)) >= len(palette):
+                return None
+            rows = palette[arr]  # (h, w, 3)
+            if packed_i & 0x40:
+                rows = _deinterlace(rows)
+            return rows.astype(np.uint8)
+        else:
+            return None
+    return None
+
+
+# palette formulas shared with the battery oracle (pure integer SQL)
+_PAL_R = (7, 3)
+_PAL_G = (11, 5)
+_PAL_B = (13, 9)
+
+
+def synth_gif_pixels(doc_id: int, width: int, height: int) -> bytes:
+    """A single-frame GIF89a whose 256-entry global color table is
+    ``palette[i] = ((i*7+3)%256, (i*11+5)%256, (i*13+9)%256)`` and whose
+    DISPLAY-ORDER pixel indices are ``index[j] = (doc_id*2654435761 +
+    j*40503) % 256`` over ``j = row*width + col`` — both replayable in
+    pure integer SQL. Pixel data is REAL LZW (encoder above); odd
+    doc_ids store rows interlaced, so decode must also deinterlace."""
+    interlaced = doc_id % 2 == 1
+    j = np.arange(height * width, dtype=np.int64)
+    idx = ((doc_id * _MULT + j * _STRIDE) % 256).astype(np.uint8).reshape(height, width)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack(
+        [(i * m + c) % 256 for m, c in (_PAL_R, _PAL_G, _PAL_B)], axis=1
+    ).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height) + bytes([0x80 | 0x07, 0, 0])
+    out += pal.tobytes()
+    if interlaced:
+        order = [
+            r for start, step in _INTERLACE_PASSES for r in range(start, height, step)
+        ]
+        stored = idx[order]
+    else:
+        stored = idx
+    comp = _lzw_encode(stored.reshape(-1).tolist(), 8)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlaced else 0x00, 8])
+    for off in range(0, len(comp), 255):
+        chunk = comp[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_GIFPX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def decode_gif_features(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real GIF pixel statistics (first frame): dimensions + integer-
+    exact per-channel RGB means after LZW decode + palette mapping."""
+
+    def row(doc_id: int, v) -> dict:
+        null = dict.fromkeys(("width", "height", "mean_r", "mean_g", "mean_b"))
+        null["doc_id"] = doc_id
+        if v is None:
+            return null
+        px = gif_decode_pixels(bytes(v))
+        if px is None:
+            return null
+        h, w, _ = px.shape
+        sums = px.reshape(h * w, 3).astype(np.int64).sum(axis=0)
+        return {
+            "doc_id": doc_id,
+            "width": w,
+            "height": h,
+            "mean_r": int(sums[0]) / (h * w),
+            "mean_g": int(sums[1]) / (h * w),
+            "mean_b": int(sums[2]) / (h * w),
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame.from_records(
+                [row(int(d), v) for d, v in zip(b[id_col], b[data_col])],
+                columns=[f.name for f in _GIFPX_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(run, schema=_GIFPX_SCHEMA)
+
+
+def with_synth_gif_pixels(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage: full-pixel GIF payload with geometry
+    ``w = 9 + id%14, h = 5 + id%11`` (odd ids interlaced)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synth_gif_pixels(int(i), 9 + int(i) % 14, 5 + int(i) % 11)
+                for i in ids
+            ]
         )
 
     return df.withColumn("data", _synth(F.col(id_col)))

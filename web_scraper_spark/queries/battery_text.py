@@ -2172,6 +2172,56 @@ def q_png_pixel_decode(spark, sf_dir):
 
 
 @q(
+    "gif_pixel_decode",
+    # The oracle replays index[j] = (id*2654435761 + j*40503) % 256
+    # over display-order j = r*w + c and the palette formulas
+    # r=(i*7+3)%256 g=(i*11+5)%256 b=(i*13+9)%256, aggregating integer
+    # channel sums. The engine only matches by genuinely LZW-decoding
+    # the sub-block stream (variable-width codes, table growth/reset),
+    # mapping through the global color table, and DEINTERLACING the
+    # odd-id frames -- the SQL twin never sees a container byte.
+    """
+    WITH geo AS (
+      SELECT doc_id, 9 + doc_id % 14 AS w, 5 + doc_id % 11 AS h
+      FROM documents WHERE doc_id < 64
+    ),
+    px AS (
+      SELECT g.doc_id, g.w, g.h,
+             sum(((g.doc_id * 2654435761 + j.j * 40503) % 256) * 7 + 3
+                 - ((((g.doc_id * 2654435761 + j.j * 40503) % 256) * 7 + 3)
+                    // 256) * 256) AS sr,
+             sum(((g.doc_id * 2654435761 + j.j * 40503) % 256) * 11 + 5
+                 - ((((g.doc_id * 2654435761 + j.j * 40503) % 256) * 11 + 5)
+                    // 256) * 256) AS sg,
+             sum(((g.doc_id * 2654435761 + j.j * 40503) % 256) * 13 + 9
+                 - ((((g.doc_id * 2654435761 + j.j * 40503) % 256) * 13 + 9)
+                    // 256) * 256) AS sb
+      FROM geo g, unnest(generate_series(0, g.w * g.h - 1)) AS j(j)
+      GROUP BY g.doc_id, g.w, g.h
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           sr / (w * h)::DOUBLE AS mean_r,
+           sg / (w * h)::DOUBLE AS mean_g,
+           sb / (w * h)::DOUBLE AS mean_b
+    FROM px
+    """,
+)
+def q_gif_pixel_decode(spark, sf_dir):
+    """REAL full GIF decode, no media library (operators/rawmedia.py):
+    LZW is a published algorithm, so the engine decompresses the real
+    variable-width code stream, maps indices through the 256-entry
+    color table, deinterlaces odd-id frames, and emits integer-exact
+    per-channel RGB means."""
+    from ..operators.rawmedia import decode_gif_features, with_synth_gif_pixels
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return decode_gif_features(with_synth_gif_pixels(docs))
+
+
+
+@q(
     "gif_frame_index",
     """
     WITH geo AS (
