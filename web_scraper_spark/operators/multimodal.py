@@ -17,17 +17,20 @@ real and tested. Decode capability is split honestly:
   when ``strict=True`` (the clearly-marked stub a PIL/ffmpeg decoder
   drops into).
 
-Four modalities need no codec library at all and are REAL end-to-end
-decodes (oracle-checked bit-for-bit), shrinking the stub surface to
-formats that genuinely need one (JPEG pixel data, video codecs):
+Every image and audio format here is now a REAL end-to-end decode
+(oracle-checked bit-for-bit), shrinking the stub surface to video
+codecs alone:
 
 - audio: ``operators/audio.py`` — full WAV/RIFF PCM decode
   (8/16/24/32-bit int + IEEE float), sample features, frame windows
   (battery ``audio_wav_decode`` / ``audio_frame_windows``);
 - image pixels: ``operators/rawmedia.py:decode_bmp_features`` — BI_RGB
   BMP pixel recovery with exact channel stats (``bmp_pixel_decode``) —
-  and ``decode_png_features``: full PNG decode via stdlib zlib + the
-  five spec §9 scanline filters (``png_pixel_decode``);
+  ``decode_png_features``: full PNG decode via stdlib zlib + the
+  five spec §9 scanline filters (``png_pixel_decode``) — and
+  ``operators/jpeg.py``: full BASELINE JPEG decode (canonical Huffman,
+  byte unstuffing, restarts, dequantize, exact matrix IDCT, JFIF
+  color; ``jpeg_pixel_decode``);
 - animation: ``operators/rawmedia.py:gif_frame_index`` — GIF
   frame-structure walk with per-frame geometry + delays
   (``gif_frame_index``) — and ``decode_gif_features``: full GIF pixel

@@ -2222,6 +2222,47 @@ def q_gif_pixel_decode(spark, sf_dir):
 
 
 @q(
+    "jpeg_pixel_decode",
+    # Flat 8x8 blocks have a DC-only DCT, so with quantization step 1
+    # the LOSSY pipeline is exact and the oracle replays block values
+    # (v = (id*2654435761 + b*40503) % 256) in pure integer SQL: each
+    # block contributes 64 identical pixels, so the image mean is the
+    # block-value mean. The engine only matches by genuinely Huffman-
+    # decoding the entropy stream (odd ids add DRI/RSTn restarts),
+    # dequantizing, and running the 8x8 IDCT.
+    """
+    WITH geo AS (
+      SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+      FROM documents WHERE doc_id < 64
+    ),
+    blk AS (
+      SELECT g.doc_id, g.bw, g.bh,
+             sum((g.doc_id * 2654435761 + b.b * 40503) % 256) AS s
+      FROM geo g, unnest(generate_series(0, g.bw * g.bh - 1)) AS b(b)
+      GROUP BY g.doc_id, g.bw, g.bh
+    )
+    SELECT doc_id,
+           (bw * 8)::INT AS width, (bh * 8)::INT AS height, 1::INT AS channels,
+           s / (bw * bh)::DOUBLE AS mean_c0,
+           NULL::DOUBLE AS mean_c1, NULL::DOUBLE AS mean_c2
+    FROM blk
+    """,
+)
+def q_jpeg_pixel_decode(spark, sf_dir):
+    """REAL baseline JPEG decode, no media library (operators/jpeg.py):
+    marker walk, canonical Annex-K Huffman decode with byte unstuffing
+    and restart markers, dequantize, exact matrix IDCT — emitted as
+    integer-exact per-image means over flat-block synth payloads."""
+    from ..operators.jpeg import decode_jpeg_features, with_synth_jpeg
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return decode_jpeg_features(with_synth_jpeg(docs))
+
+
+
+@q(
     "gif_frame_index",
     """
     WITH geo AS (
