@@ -434,3 +434,63 @@ def test_decontaminate_counts_shared_shingles(spark):
     assert out[2]["n_overlap"] == 1 and not out[2]["contaminated"]
     assert out[3]["n_overlap"] == 0 and not out[3]["contaminated"]
     assert out[4]["n_overlap"] == 0 and not out[4]["contaminated"]
+
+
+def test_multimodal_strict_really_decodes(spark):
+    """strict=True routes through the REAL codec-free decoders: the
+    feature vector carries true pixel/sample statistics and n_frames
+    is the true frame count; only genuinely codec-bound payloads
+    (video/unknown) raise."""
+    from web_scraper_spark.operators.audio import synth_wav_pcm16
+    from web_scraper_spark.operators.jpeg import synth_jpeg
+    from web_scraper_spark.operators.rawmedia import (
+        decode_png_pixels,
+        synth_bmp,
+        synth_gif_pixels,
+        synth_png,
+    )
+
+    rows = [
+        (1, synth_png(1, 10, 6, 3)),
+        (2, synth_gif_pixels(2, 9, 5)),
+        (3, synth_bmp(3, 16, 8, 24)),
+        (4, synth_jpeg(4, 2, 2)),
+        (5, synth_wav_pcm16(5, frames=50, rate=8000, channels=2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {
+        r.doc_id: r
+        for r in decode_features(df, "data", "doc_id", strict=True).collect()
+    }
+    assert got[1].format == "png" and got[1].feature[:3] == [10.0, 6.0, 3.0]
+    px = decode_png_pixels(rows[0][1])
+    assert got[1].feature[3] == pytest.approx(px.mean() / 255.0, abs=1e-5)
+    assert got[2].format == "gif" and got[2].n_frames == 1
+    assert got[3].format == "bmp" and got[3].feature[:3] == [16.0, 8.0, 3.0]
+    assert got[4].format == "jpeg" and got[4].feature[:3] == [16.0, 16.0, 1.0]
+    assert got[5].format == "wav" and got[5].n_frames == 50
+    assert got[5].feature[0] == 2.0  # channels
+
+
+def test_multimodal_strict_frame_sample_real_gif(spark):
+    from web_scraper_spark.operators.rawmedia import (
+        gif_decode_pixels,
+        synth_gif_pixels,
+        synth_png,
+    )
+
+    rows = [(1, synth_gif_pixels(1, 9, 5)), (2, synth_png(2, 10, 6, 3))]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = sorted(
+        frame_sample(df, "data", "doc_id", strict=True).collect(),
+        key=lambda r: (r.doc_id, r.frame_idx),
+    )
+    g1 = [r for r in got if r.doc_id == 1]
+    assert len(g1) == 1 and g1[0].frame_idx == 0
+    px = gif_decode_pixels(rows[0][1])
+    assert g1[0].byte_mean == pytest.approx(px.mean() / 255.0, abs=1e-5)
+    # offset points inside the container at the image descriptor (0x2C)
+    assert rows[0][1][g1[0].offset] == 0x2C
+    assert g1[0].frame_len > 0
+    g2 = [r for r in got if r.doc_id == 2]
+    assert len(g2) == 1 and g2[0].frame_len == len(rows[1][1])

@@ -235,24 +235,32 @@ def decode_features(
 ) -> DataFrame:
     """Decode/feature-extract stage over binary payloads.
 
-    Real pipelines put PIL/ffmpeg/torchaudio here; this container has
-    none, so with ``strict=True`` the stage raises
-    ``NotImplementedError`` (decode genuinely unavailable), and by
-    default it emits a deterministic fake: ``feature[i]`` = mean of
-    payload bytes at positions ≡ i (mod dim), scaled to [0,1];
-    ``n_frames`` = n_bytes // 1024 + 1 (a frame-sampling stand-in).
-    The Arrow batch shape, schema, and partitioning are the real
-    contract a decoder drops into.
+    With ``strict=True`` every payload is REALLY decoded by the
+    codec-free decoders in this package — PNG/BMP/GIF/JPEG pixels
+    (``operators/rawmedia.py`` / ``operators/jpeg.py``) and WAV PCM
+    samples (``operators/audio.py``) — and the feature vector is real
+    content statistics: images emit ``[w, h, ch, mean, std, min, max,
+    aspect]`` (pixel stats /255), WAV emits ``[channels, rate/1e5,
+    bits/64, n_frames scaled, mean, std, min, max]`` over samples
+    normalized to the bit depth; ``n_frames`` is the true GIF frame
+    count (1 for static images, PCM frame count for WAV). A payload
+    that genuinely needs a codec this container lacks (video, unknown
+    bytes) raises ``NotImplementedError`` — strict mode never emits a
+    stand-in value.
+
+    By default (``strict=False``) it emits the deterministic
+    byte-arithmetic stand-in (``feature[i]`` = mean of payload bytes at
+    positions ≡ i (mod dim) scaled to [0,1]; ``n_frames`` = n_bytes //
+    1024 + 1) — the cheap path when payload-level stats are enough.
+    The Arrow batch shape, schema, and partitioning are identical.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         if strict:
-            raise NotImplementedError(
-                "media decode libraries are not available in this environment; "
-                "plug PIL/ffmpeg into this mapInPandas stage"
-            )
+            yield from _run_strict_features(batches, id_col, data_col, feature_dim)
+            return
         for pdf in batches:
             ids, sizes, fmts, feats, frames = [], [], [], [], []
             for i, raw in zip(pdf[id_col], pdf[data_col]):
@@ -291,6 +299,88 @@ def decode_features(
     return src.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+def _strict_decode_one(raw: bytes, feature_dim: int):
+    """-> (format, feature, n_frames) via the REAL codec-free decoders,
+    or None when the payload genuinely needs an unavailable codec."""
+    import numpy as np
+
+    from .audio import decode_wav_samples
+    from .jpeg import decode_jpeg_pixels
+    from .rawmedia import decode_bmp_pixels, decode_png_pixels, gif_decode_pixels, gif_frames
+
+    def pad(vec):
+        vec = [round(float(v), 6) for v in vec][:feature_dim]
+        return vec + [0.0] * (feature_dim - len(vec))
+
+    head = raw[:12]
+    if head.startswith(b"\x89PNG"):
+        px, fmt, frames = decode_png_pixels(raw), "png", 1
+    elif head.startswith((b"GIF87a", b"GIF89a")):
+        px, fmt = gif_decode_pixels(raw), "gif"
+        fr = gif_frames(raw)
+        frames = len(fr) if fr else 1
+    elif head.startswith(b"BM"):
+        px, fmt, frames = decode_bmp_pixels(raw), "bmp", 1
+    elif head.startswith(b"\xff\xd8"):
+        px, fmt, frames = decode_jpeg_pixels(raw), "jpeg", 1
+    elif head.startswith(b"RIFF") and head[8:12] == b"WAVE":
+        dec = decode_wav_samples(raw)
+        if dec is None:
+            return None
+        (_afmt, channels, rate, bits, n_frames, _off, _size), samples = dec
+        s = np.asarray(samples, np.float64) / float(1 << max(bits - 1, 1))
+        stats = (
+            [s.mean(), s.std(), s.min(), s.max()] if s.size else [0.0] * 4
+        )
+        return (
+            "wav",
+            pad([channels, rate / 1e5, bits / 64.0, min(n_frames, 10**6) / 1e6] + stats),
+            int(n_frames),
+        )
+    else:
+        return None
+    if px is None:
+        return None
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    s = px.astype(np.float64) / 255.0
+    return (
+        fmt,
+        pad([w, h, ch, s.mean(), s.std(), s.min(), s.max(), w / h]),
+        frames,
+    )
+
+
+def _run_strict_features(
+    batches: Iterator[pd.DataFrame], id_col: str, data_col: str, feature_dim: int
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for i, raw in zip(pdf[id_col], pdf[data_col]):
+            b = b"" if raw is None else bytes(raw)
+            dec = _strict_decode_one(b, feature_dim)
+            if dec is None:
+                raise NotImplementedError(
+                    f"doc {int(i)}: payload needs a codec this container "
+                    "lacks (video or unrecognized format); only PNG/BMP/"
+                    "GIF/JPEG/WAV decode codec-free"
+                )
+            fmt, feat, frames = dec
+            rows.append(
+                {
+                    "doc_id": int(i),
+                    "n_bytes": len(b),
+                    "format": fmt,
+                    "feature": feat,
+                    "n_frames": frames,
+                }
+            )
+        yield pd.DataFrame.from_records(
+            rows, columns=[f.name for f in _FEATURE_SCHEMA.fields]
+        )
+
+
 _FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -310,29 +400,34 @@ def frame_sample(
     max_frames: int = 4,
     strict: bool = False,
 ) -> DataFrame:
-    """Frame-sampling stage over binary payloads (video/audio stand-in).
+    """Frame-sampling stage over binary payloads.
 
-    Real pipelines seek keyframes with ffmpeg here; the deterministic
-    stand-in treats the payload as fixed-size byte windows ("frames")
-    and samples ``min(max_frames, n_frames)`` of them evenly across the
-    payload: sampled global frame index ``(i * n_frames) // n_sel``.
-    One output row per sampled frame — the fan-out (explode) shape a
-    real frame sampler produces, so downstream per-frame operators
-    (dedup, feature-extract) are exercised against the true cardinality.
-    Empty payloads produce no frames.
+    With ``strict=True`` frames are REAL: GIF payloads are walked for
+    their true frame extents (``gif_frames(with_offsets=True)``) and
+    ``min(max_frames, n_frames)`` frames are evenly sampled, each one
+    genuinely LZW-decoded — ``offset``/``frame_len`` are the frame's
+    byte extent in the container and ``byte_mean`` is the decoded
+    frame's pixel mean /255. Single-frame images (PNG/BMP/JPEG) yield
+    their one real frame. Video and WAV raise ``NotImplementedError``
+    (video needs a codec this container lacks; audio windows belong to
+    ``operators/audio.py:audio_frame_windows``).
 
-    With ``strict=True`` raises ``NotImplementedError`` (media decode
-    genuinely unavailable in this container).
+    By default (``strict=False``) the deterministic stand-in treats the
+    payload as fixed-size byte windows ("frames") and samples
+    ``min(max_frames, n_frames)`` of them evenly across the payload:
+    sampled global frame index ``(i * n_frames) // n_sel``. One output
+    row per sampled frame — the fan-out (explode) shape a real frame
+    sampler produces, so downstream per-frame operators (dedup,
+    feature-extract) are exercised against the true cardinality. Empty
+    payloads produce no frames.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         if strict:
-            raise NotImplementedError(
-                "media decode libraries are not available in this environment; "
-                "plug ffmpeg keyframe sampling into this mapInPandas stage"
-            )
+            yield from _run_strict_frames(batches, id_col, data_col, max_frames)
+            return
         for pdf in batches:
             ids, fidx, offs, lens, means = [], [], [], [], []
             for i, raw in zip(pdf[id_col], pdf[data_col]):
@@ -363,3 +458,62 @@ def frame_sample(
 
     src = df.select(F.col(id_col), F.col(data_col))
     return src.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+def _run_strict_frames(
+    batches: Iterator[pd.DataFrame], id_col: str, data_col: str, max_frames: int
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .jpeg import decode_jpeg_pixels
+    from .rawmedia import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+        gif_decode_pixels,
+        gif_frames,
+    )
+
+    def mean01(px) -> float:
+        return round(float(np.asarray(px, np.float64).mean()) / 255.0, 6)
+
+    for pdf in batches:
+        rows = []
+        for i, raw in zip(pdf[id_col], pdf[data_col]):
+            b = b"" if raw is None else bytes(raw)
+            head = b[:12]
+            if head.startswith((b"GIF87a", b"GIF89a")):
+                fr = gif_frames(b, with_offsets=True)
+                if not fr:
+                    raise NotImplementedError(
+                        f"doc {int(i)}: undecodable GIF frame structure"
+                    )
+                n_frames = len(fr)
+                n_sel = min(max_frames, n_frames)
+                for s in range(n_sel):
+                    f = (s * n_frames) // n_sel
+                    px = gif_decode_pixels(b, frame=f)
+                    if px is None:
+                        raise NotImplementedError(
+                            f"doc {int(i)}: GIF frame {f} needs pixel "
+                            "decode this payload does not permit"
+                        )
+                    _idx, _x, _y, _w, _h, _d, off, blen = fr[f]
+                    rows.append((int(i), f, off, int(blen), mean01(px)))
+                continue
+            px = None
+            if head.startswith(b"\x89PNG"):
+                px = decode_png_pixels(b)
+            elif head.startswith(b"BM"):
+                px = decode_bmp_pixels(b)
+            elif head.startswith(b"\xff\xd8"):
+                px = decode_jpeg_pixels(b)
+            if px is None:
+                raise NotImplementedError(
+                    f"doc {int(i)}: frame sampling needs a codec this "
+                    "container lacks (video/unknown; WAV windows -> "
+                    "audio_frame_windows)"
+                )
+            rows.append((int(i), 0, 0, len(b), mean01(px)))
+        yield pd.DataFrame.from_records(
+            rows, columns=[f.name for f in _FRAME_SCHEMA.fields]
+        )

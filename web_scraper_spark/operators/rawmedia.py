@@ -504,12 +504,15 @@ def synth_gif(doc_id: int, n_frames: int) -> bytes:
     return bytes(out)
 
 
-def gif_frames(data: bytes):
+def gif_frames(data: bytes, with_offsets: bool = False):
     """Walk the GIF block structure -> [(frame_idx, x, y, w, h,
     delay_cs)] without decoding pixel data, or None when the payload is
     not a GIF. Tolerates missing trailers (truncated files stop at the
     last complete block) — comment/application/plain-text extensions
-    are skipped by their sub-block length prefixes.
+    are skipped by their sub-block length prefixes. With
+    ``with_offsets=True`` each tuple gains ``(byte_offset, byte_len)``
+    of the frame's extent in the container (image descriptor through
+    block terminator) — the real frame-sampling byte index.
     """
     n = len(data)
     if n < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -538,6 +541,7 @@ def gif_frames(data: bytes):
         elif b0 == 0x2C:  # image descriptor
             if pos + 10 > n:
                 break
+            desc_at = pos
             x, y, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
             packed_i = data[pos + 9]
             pos += 10
@@ -547,7 +551,10 @@ def gif_frames(data: bytes):
             while pos < n and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
-            frames.append((len(frames), x, y, w, h, delay))
+            rec = (len(frames), x, y, w, h, delay)
+            if with_offsets:
+                rec += (desc_at, min(pos, n) - desc_at)
+            frames.append(rec)
             delay = 0
         else:
             return frames or None  # lost block sync
