@@ -2263,6 +2263,82 @@ def q_jpeg_pixel_decode(spark, sf_dir):
 
 
 @q(
+    "mp4_track_index",
+    # Every field of the synth container is a pure formula of doc_id
+    # (width/height from tkhd 16.16 fixed point, timescale/duration
+    # from mdhd, handler/codec fourccs, stsz count, stss cadence) —
+    # the oracle replays the formulas; the engine must walk real ISO
+    # BMFF boxes to match.
+    """
+    SELECT doc_id,
+           1::INT AS track_id, 'vide' AS handler, 'fk01' AS codec,
+           (16 * (1 + doc_id % 5))::INT AS width,
+           (16 * (1 + doc_id % 3))::INT AS height,
+           (1000 + (doc_id % 7) * 100)::INT AS timescale,
+           ((5 + doc_id % 9) * ((1000 + (doc_id % 7) * 100) // 10))::BIGINT
+             AS duration,
+           (5 + doc_id % 9)::INT AS n_samples,
+           ((5 + doc_id % 9 + 3) // 4)::INT AS n_keyframes
+    FROM documents WHERE doc_id < 64
+    """,
+)
+def q_mp4_track_index(spark, sf_dir):
+    """REAL video-container decode (operators/video.py): ISO BMFF box
+    walk — per-track handler, codec fourcc, dimensions, timescale,
+    duration, sample and sync-sample counts — no codec library, the
+    metadata tier a video corpus pipeline routes and filters on."""
+    from ..operators.video import mp4_track_index, with_synth_mp4
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return mp4_track_index(with_synth_mp4(docs))
+
+
+@q(
+    "mp4_frame_index",
+    # The oracle replays the sample-table arithmetic (chunk c = i//3 at
+    # offset 1000 + c*5000 + (id%11)*8; a sample's offset adds the
+    # sizes of earlier samples in its chunk — a window cumsum) and the
+    # every-4th stss cadence. The engine must resolve real
+    # stsc x stsz x stco tables to match byte-exactly.
+    """
+    WITH geo AS (
+      SELECT doc_id, 5 + doc_id % 9 AS n FROM documents WHERE doc_id < 64
+    ),
+    s AS (
+      SELECT g.doc_id, i.i AS frame_idx,
+             100 + (g.doc_id * 3 + i.i * 7) % 50 AS frame_len,
+             i.i // 3 AS c
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id, frame_idx::INT AS frame_idx,
+           (1000 + c * 5000 + (doc_id % 11) * 8
+            + coalesce(sum(frame_len) OVER (
+                PARTITION BY doc_id, c ORDER BY frame_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS "offset",
+           frame_len::INT AS frame_len,
+           (CASE WHEN frame_idx % 4 = 0 THEN 1 ELSE 0 END)::INT AS is_keyframe
+    FROM s
+    """,
+)
+def q_mp4_frame_index(spark, sf_dir):
+    """The distributed frame-sampling byte index (operators/video.py):
+    one row per sample of the video track with its EXACT byte extent
+    resolved from the stsc x stsz x stco sample tables plus the stss
+    keyframe mark — what a 100 TB video pipeline fans out before any
+    codec reads a byte."""
+    from ..operators.video import mp4_frame_index, with_synth_mp4
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return mp4_frame_index(with_synth_mp4(docs))
+
+
+
+@q(
     "gif_frame_index",
     """
     WITH geo AS (
