@@ -141,3 +141,61 @@ def test_audio_stages_do_not_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame index
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_frame_walk_vbr_and_id3():
+    from web_scraper_spark.operators.audio import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        mp3_frames,
+        synth_mp3,
+    )
+
+    for d in range(16):
+        n = 3 + d % 6
+        fr = mp3_frames(synth_mp3(d, n))
+        assert fr is not None and len(fr) == n
+        off = 10 + d % 7  # ID3v2 header + declared junk
+        for i, (idx, o, ln, br, sr) in enumerate(fr):
+            bi, si, pad = 1 + (d * 3 + i) % 14, i % 3, (d + i) % 2
+            want = (144000 * _MP3_BITRATES[bi]) // _MP3_RATES[si] + pad
+            assert (idx, o, ln, br, sr) == (
+                i, off, want, _MP3_BITRATES[bi], _MP3_RATES[si],
+            )
+            off += want
+
+
+def test_mp3_resync_truncation_refusals():
+    from web_scraper_spark.operators.audio import mp3_frames, synth_mp3
+
+    assert mp3_frames(b"") is None
+    assert mp3_frames(b"\x00" * 5000) is None  # bounded resync gives up
+    full = synth_mp3(3, 4)
+    part = mp3_frames(full[:-10])  # truncated final frame dropped
+    assert part is not None and len(part) == 3
+    # leading junk before the first sync word: bounded resync finds it
+    assert len(mp3_frames(b"\x12\x34" * 7 + synth_mp3(5, 3)[10:])) == 3
+    # free-format (bitrate_idx 0) and reserved rate refuse cleanly
+    bad = bytearray(synth_mp3(2, 3))
+    first = 10 + 2 % 7
+    bad[first + 2] = 0x00  # bitrate idx 0 (free) -> not indexable
+    assert mp3_frames(bytes(bad[: first + 4])) is None
+
+
+def test_mp3_stage_rows(spark):
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.operators.audio import mp3_frame_index, with_synth_mp3
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = mp3_frame_index(with_synth_mp3(docs))
+    rows = out.collect()
+    assert len(rows) == sum(3 + d % 6 for d in range(12))
+    assert {r.sample_rate for r in rows} == {44100, 48000, 32000}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -26,6 +26,11 @@ ranges to a decoder.
   ``(doc_id, i)`` — the DuckDB battery oracle replays the offset
   arithmetic (cumulative sums within stsc chunk runs) in SQL without
   ever seeing a box.
+- ``parse_webm`` / ``webm_frame_index``: the same for WebM/Matroska
+  (EBML, RFC 8794): variable-length-integer element walk, track
+  metadata (codec id, dimensions), and per-frame coded-byte extents +
+  keyframe flags from Cluster/SimpleBlock. MP4 + WebM covers
+  essentially all web video containers.
 """
 
 from __future__ import annotations
@@ -51,6 +56,10 @@ __all__ = [
     "mp4_track_index",
     "mp4_frame_index",
     "with_synth_mp4",
+    "parse_webm",
+    "synth_webm",
+    "webm_frame_index",
+    "with_synth_webm",
 ]
 
 # shared with the rest of the raw-media tier and the battery oracles
@@ -434,5 +443,257 @@ def with_synth_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     @pandas_udf(BinaryType())
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_mp4(int(i), 5 + int(i) % 9) for i in ids])
+
+    return df.withColumn("data", _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska (EBML, RFC 8794 + Matroska spec) — REAL container
+# walk: tracks + per-frame byte extents from Cluster/SimpleBlock.
+# Together with the ISO BMFF walk above this covers essentially all
+# web video containers, codec-free.
+# ---------------------------------------------------------------------------
+
+_EBML_HEADER = 0x1A45DFA3
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO_EL = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+_CLUSTER = 0x1F43B675
+_CLUSTER_TS = 0xE7
+_SIMPLE_BLOCK = 0xA3
+
+
+def _vint(data: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer -> (value, next_pos) or None."""
+    if pos >= len(data):
+        return None
+    b0 = data[pos]
+    if b0 == 0:
+        return None
+    length = 1
+    mask = 0x80
+    while not (b0 & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(data):
+        return None
+    val = b0 if keep_marker else (b0 & (mask - 1))
+    for k in range(1, length):
+        val = (val << 8) | data[pos + k]
+    if not keep_marker and val == (1 << (7 * length)) - 1:
+        val = -1  # unknown size
+    return val, pos + length
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) within [start, end)."""
+    pos = start
+    while pos < end:
+        r = _vint(data, pos, True)
+        if r is None:
+            return
+        eid, pos = r
+        r = _vint(data, pos, False)
+        if r is None:
+            return
+        size, pos = r
+        body_end = end if size < 0 else pos + size
+        if body_end > end:
+            return
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def _uint(data: bytes, b: int, e: int) -> int:
+    return int.from_bytes(data[b:e], "big")
+
+
+def parse_webm(data: bytes):
+    """-> {"timescale_ns", "tracks": [...], "frames": [...]} or None.
+
+    tracks: (number, track_type, codec, width, height); frames:
+    (track, timestamp_ticks, offset, size, keyframe) where
+    ``offset/size`` is the coded frame's exact byte extent inside the
+    SimpleBlock (what a decoder would be handed) and timestamp =
+    cluster timestamp + block relative timestamp."""
+    if len(data) < 8 or _vint(data, 0, True) is None:
+        return None
+    top = list(_ebml_children(data, 0, len(data)))
+    if not top or top[0][0] != _EBML_HEADER:
+        return None
+    seg = next(((b, e) for i, b, e in top if i == _SEGMENT), None)
+    if seg is None:
+        return None
+    timescale = 1_000_000
+    tracks = []
+    frames = []
+    for eid, b, e in _ebml_children(data, seg[0], seg[1]):
+        if eid == _INFO:
+            for i2, b2, e2 in _ebml_children(data, b, e):
+                if i2 == _TIMESTAMP_SCALE:
+                    timescale = _uint(data, b2, e2)
+        elif eid == _TRACKS:
+            for i2, b2, e2 in _ebml_children(data, b, e):
+                if i2 != _TRACK_ENTRY:
+                    continue
+                num = ttype = w = h = None
+                codec = None
+                for i3, b3, e3 in _ebml_children(data, b2, e2):
+                    if i3 == _TRACK_NUMBER:
+                        num = _uint(data, b3, e3)
+                    elif i3 == _TRACK_TYPE:
+                        ttype = _uint(data, b3, e3)
+                    elif i3 == _CODEC_ID:
+                        codec = data[b3:e3].decode("ascii", "replace")
+                    elif i3 == _VIDEO_EL:
+                        for i4, b4, e4 in _ebml_children(data, b3, e3):
+                            if i4 == _PIXEL_W:
+                                w = _uint(data, b4, e4)
+                            elif i4 == _PIXEL_H:
+                                h = _uint(data, b4, e4)
+                tracks.append((num, ttype, codec, w, h))
+        elif eid == _CLUSTER:
+            cts = 0
+            for i2, b2, e2 in _ebml_children(data, b, e):
+                if i2 == _CLUSTER_TS:
+                    cts = _uint(data, b2, e2)
+                elif i2 == _SIMPLE_BLOCK:
+                    r = _vint(data, b2, False)
+                    if r is None:
+                        continue
+                    tnum, p = r
+                    if p + 3 > e2:
+                        continue
+                    rel = struct.unpack(">h", data[p : p + 2])[0]
+                    flags = data[p + 2]
+                    frames.append(
+                        (
+                            tnum,
+                            cts + rel,
+                            p + 3,
+                            e2 - (p + 3),
+                            1 if flags & 0x80 else 0,
+                        )
+                    )
+    if not tracks:
+        return None
+    return {"timescale_ns": timescale, "tracks": tracks, "frames": frames}
+
+
+def _ebml_el(eid_bytes: bytes, payload: bytes, size_len: int = 8) -> bytes:
+    """Element with a fixed-width size field (1 or 8 bytes) so synth
+    offsets stay closed-form for the SQL oracle."""
+    if size_len == 1:
+        return eid_bytes + bytes([0x80 | len(payload)]) + payload
+    return (
+        eid_bytes
+        + bytes([0x01])
+        + len(payload).to_bytes(7, "big")
+        + payload
+    )
+
+
+def synth_webm_frame_len(doc_id: int, i: int) -> int:
+    return 60 + (doc_id * 5 + i * 11) % 40
+
+
+def synth_webm(doc_id: int, n_frames: int) -> bytes:
+    """A valid WebM/EBML file with ONE video track (codec ``V_FK0``,
+    ``width/height = 16*(1+id%5) x 16*(1+id%3)``) and clusters of 4
+    SimpleBlocks (cluster c at timestamp ``c*200``, in-cluster frame k
+    at relative ``k*50``, keyframe when ``k == 0``). Frame payload
+    lengths are ``60 + (id*5 + i*11) % 40`` filler bytes. All size
+    fields are fixed-width vints, so every frame's byte offset is the
+    closed form the DuckDB oracle replays:
+    ``102 + 16*(i//4 + 1) + 13*(i+1) + sum(len_j for j < i)``."""
+    w, h = 16 * (1 + doc_id % 5), 16 * (1 + doc_id % 3)
+    # fixed layout (ID(4)+size(8)+doctype(2+1+4) = 19 bytes) so the
+    # closed-form offsets hold
+    header = _ebml_el(b"\x1a\x45\xdf\xa3", b"\x42\x82\x84webm")
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        b"\x2a\xd7\xb1\x84" + (1_000_000).to_bytes(4, "big"),
+    )
+    video = _ebml_el(
+        b"\xe0",
+        b"\xb0\x82" + w.to_bytes(2, "big") + b"\xba\x82" + h.to_bytes(2, "big"),
+    )
+    entry = _ebml_el(
+        b"\xae",
+        b"\xd7\x81\x01" + b"\x83\x81\x01" + b"\x86\x85V_FK0" + video,
+    )
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", entry)
+    clusters = b""
+    for c in range(-(-n_frames // 4)):
+        body = b"\xe7\x82" + (c * 200).to_bytes(2, "big")
+        for k in range(4):
+            i = c * 4 + k
+            if i >= n_frames:
+                break
+            ln = synth_webm_frame_len(doc_id, i)
+            payload = (
+                b"\x81"  # track 1 vint
+                + struct.pack(">h", k * 50)
+                + bytes([0x80 if k == 0 else 0x00])
+                + bytes((doc_id + i + j) % 256 for j in range(ln))
+            )
+            body += _ebml_el(b"\xa3", payload)
+        clusters += _ebml_el(b"\x1f\x43\xb6\x75", body)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks + clusters)
+    return header + segment
+
+
+_WEBM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("track", IntegerType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("timestamp_ticks", LongType(), False),
+        StructField("offset", LongType(), False),
+        StructField("frame_len", IntegerType(), False),
+        StructField("is_keyframe", IntegerType(), False),
+    ]
+)
+
+
+def webm_frame_index(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per SimpleBlock frame with its exact coded-byte extent,
+    timestamp (cluster + relative), and keyframe flag — the WebM twin
+    of ``mp4_frame_index``. Undecodable payloads emit nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, v in zip(b[id_col], b[data_col]):
+                parsed = parse_webm(bytes(v)) if v is not None else None
+                for fi, (trk, ts, off, ln, kf) in enumerate(
+                    (parsed or {}).get("frames", ())
+                ):
+                    rows.append((int(d), int(trk), fi, int(ts), off, ln, kf))
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in _WEBM_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=_WEBM_SCHEMA)
+
+
+def with_synth_webm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage: WebM with ``n_frames = 5 + id%9``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_webm(int(i), 5 + int(i) % 9) for i in ids])
 
     return df.withColumn("data", _synth(F.col(id_col)))

@@ -2339,6 +2339,98 @@ def q_mp4_frame_index(spark, sf_dir):
 
 
 @q(
+    "mp3_frame_index",
+    # The oracle replays the published frame-length formula
+    # (144000*bitrate/rate + padding) over the synth's per-frame
+    # header fields (VBR: bitrate_idx = 1+(id*3+i)%14, rate i%3,
+    # padding (id+i)%2) and the ID3v2 prefix of 10 + id%7 bytes;
+    # offsets are a window cumsum. The engine must genuinely walk
+    # every 4-byte MPEG header to match.
+    """
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 6 AS n, 10 + doc_id % 7 AS prefix
+      FROM documents WHERE doc_id < 64
+    ),
+    f AS (
+      SELECT g.doc_id, g.prefix, i.i AS frame_idx,
+             list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                          (1 + (g.doc_id * 3 + i.i) % 14)::INT) AS br,
+             list_extract([44100,48000,32000], (i.i % 3 + 1)::INT) AS sr,
+             (g.doc_id + i.i) % 2 AS pad
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    ),
+    l AS (
+      SELECT doc_id, prefix, frame_idx, br, sr,
+             (144000 * br) // sr + pad AS frame_len
+      FROM f
+    )
+    SELECT doc_id, frame_idx::INT AS frame_idx,
+           (prefix + coalesce(sum(frame_len) OVER (
+              PARTITION BY doc_id ORDER BY frame_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS "offset",
+           frame_len::INT AS frame_len,
+           br::INT AS bitrate_kbps, sr::INT AS sample_rate
+    FROM l
+    """,
+)
+def q_mp3_frame_index(spark, sf_dir):
+    """REAL MPEG-audio frame walk (operators/audio.py): per-frame byte
+    extents, bitrate, and sample rate from the published 4-byte header
+    layout — VBR-safe, ID3v2-skipping, codec-free (sample decode needs
+    the Layer III codec; the byte index does not)."""
+    from ..operators.audio import mp3_frame_index, with_synth_mp3
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return mp3_frame_index(with_synth_mp3(docs))
+
+
+@q(
+    "webm_frame_index",
+    # Fixed-width EBML size fields make every SimpleBlock offset the
+    # closed form 102 + 16*(i//4+1) + 13*(i+1) + cumsum(prior lens);
+    # lens 60 + (id*5 + i*11) % 40, cluster ts c*200 + in-cluster
+    # k*50, keyframe at k = 0. The engine must genuinely walk EBML
+    # varints and Cluster/SimpleBlock structure to match.
+    """
+    WITH geo AS (
+      SELECT doc_id, 5 + doc_id % 9 AS n FROM documents WHERE doc_id < 64
+    ),
+    f AS (
+      SELECT g.doc_id, i.i AS frame_idx,
+             60 + (g.doc_id * 5 + i.i * 11) % 40 AS frame_len,
+             i.i // 4 AS c, i.i % 4 AS k
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id, 1::INT AS track, frame_idx::INT AS frame_idx,
+           (c * 200 + k * 50)::BIGINT AS timestamp_ticks,
+           (102 + 16 * (c + 1) + 13 * (frame_idx + 1)
+            + coalesce(sum(frame_len) OVER (
+                PARTITION BY doc_id ORDER BY frame_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS "offset",
+           frame_len::INT AS frame_len,
+           (CASE WHEN k = 0 THEN 1 ELSE 0 END)::INT AS is_keyframe
+    FROM f
+    """,
+)
+def q_webm_frame_index(spark, sf_dir):
+    """REAL WebM/Matroska container walk (operators/video.py): EBML
+    varint elements, track metadata, and per-frame coded-byte extents
+    + keyframe flags from Cluster/SimpleBlock — with mp4_frame_index
+    this covers essentially all web video containers, codec-free."""
+    from ..operators.video import webm_frame_index, with_synth_webm
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return webm_frame_index(with_synth_webm(docs))
+
+
+
+@q(
     "gif_frame_index",
     """
     WITH geo AS (
