@@ -494,3 +494,45 @@ def test_multimodal_strict_frame_sample_real_gif(spark):
     assert g1[0].frame_len > 0
     g2 = [r for r in got if r.doc_id == 2]
     assert len(g2) == 1 and g2[0].frame_len == len(rows[1][1])
+
+
+def test_multimodal_strict_frame_sample_containers(spark):
+    """strict frame_sample yields real coded-byte extents for MP4/
+    WebM/MP3 containers (no pixel claim), sampled evenly."""
+    from web_scraper_spark.operators.audio import mp3_frames, synth_mp3
+    from web_scraper_spark.operators.video import (
+        parse_webm,
+        synth_mp4,
+        synth_webm,
+    )
+
+    rows = [
+        (1, synth_mp4(1, 9)),     # moov-only: extents point past payload
+        (2, synth_webm(2, 7)),    # frames embedded: real byte means
+        (3, synth_mp3(3, 5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = sorted(
+        frame_sample(df, "data", "doc_id", strict=True, max_frames=4).collect(),
+        key=lambda r: (r.doc_id, r.frame_idx),
+    )
+    by = {}
+    for r in got:
+        by.setdefault(r.doc_id, []).append(r)
+    # mp4: 9 samples -> 4 sampled at (s*9)//4 = 0,2,4,6
+    assert [r.frame_idx for r in by[1]] == [0, 2, 4, 6]
+    assert all(r.byte_mean == 0.0 for r in by[1])  # index-only file
+    # webm: extents are inside the payload -> real byte means
+    p = parse_webm(rows[1][1])
+    assert [r.frame_idx for r in by[2]] == [0, 1, 3, 5]
+    for r in by[2]:
+        off, ln = p["frames"][r.frame_idx][2], p["frames"][r.frame_idx][3]
+        assert (r.offset, r.frame_len) == (off, ln)
+        chunk = rows[1][1][off : off + ln]
+        assert r.byte_mean == pytest.approx(
+            sum(chunk) / len(chunk) / 255.0, abs=1e-5
+        )
+    # mp3: 5 frames -> 4 sampled; extents match the walker
+    fr = mp3_frames(rows[2][1])
+    for r in by[3]:
+        assert (r.offset, r.frame_len) == (fr[r.frame_idx][1], fr[r.frame_idx][2])

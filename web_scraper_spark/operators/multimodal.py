@@ -408,8 +408,12 @@ def frame_sample(
     genuinely LZW-decoded — ``offset``/``frame_len`` are the frame's
     byte extent in the container and ``byte_mean`` is the decoded
     frame's pixel mean /255. Single-frame images (PNG/BMP/JPEG) yield
-    their one real frame. Video and WAV raise ``NotImplementedError``
-    (video needs a codec this container lacks; audio windows belong to
+    their one real frame. MP4 and WebM payloads yield their true
+    per-frame CODED-byte extents (sample tables / SimpleBlocks, no
+    pixel-decode claim: ``byte_mean`` is the mean of the frame's coded
+    bytes when present in the payload, else 0 for index-only
+    moov/DASH-init files); MP3 likewise per MPEG frame. Unknown bytes
+    raise ``NotImplementedError`` (WAV windows belong to
     ``operators/audio.py:audio_frame_windows``).
 
     By default (``strict=False``) the deterministic stand-in treats the
@@ -460,6 +464,38 @@ def frame_sample(
     return src.mapInPandas(run, schema=_FRAME_SCHEMA)
 
 
+def _container_frame_extents(b: bytes):
+    """-> [(offset, length)] of REAL per-frame coded-byte extents for
+    MP4 (video track sample tables), WebM (SimpleBlocks), or MP3
+    (MPEG frames); None when ``b`` is none of those."""
+    head = b[:12]
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from .video import mp4_sample_offsets, parse_mp4
+
+        tracks = parse_mp4(b)
+        vid = next((t for t in tracks or () if t["handler"] == "vide"), None)
+        if vid is None:
+            return None
+        return mp4_sample_offsets(vid)
+    if head.startswith(b"\x1a\x45\xdf\xa3"):
+        from .video import parse_webm
+
+        parsed = parse_webm(b)
+        if parsed is None or not parsed["frames"]:
+            return None
+        return [(off, ln) for _t, _ts, off, ln, _k in parsed["frames"]]
+    if head.startswith(b"ID3") or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xFE) == 0xFA
+    ):
+        from .audio import mp3_frames
+
+        fr = mp3_frames(b)
+        if fr is None:
+            return None
+        return [(off, ln) for _i, off, ln, _br, _sr in fr]
+    return None
+
+
 def _run_strict_frames(
     batches: Iterator[pd.DataFrame], id_col: str, data_col: str, max_frames: int
 ) -> Iterator[pd.DataFrame]:
@@ -500,6 +536,21 @@ def _run_strict_frames(
                     _idx, _x, _y, _w, _h, _d, off, blen = fr[f]
                     rows.append((int(i), f, off, int(blen), mean01(px)))
                 continue
+            extents = _container_frame_extents(b)
+            if extents is not None:
+                n_frames = len(extents)
+                n_sel = min(max_frames, n_frames)
+                for s in range(n_sel):
+                    f = (s * n_frames) // n_sel
+                    off, ln = extents[f]
+                    chunk = b[off : off + ln]
+                    bm = (
+                        round(float(np.frombuffer(chunk, np.uint8).mean()) / 255.0, 6)
+                        if len(chunk) == ln and ln
+                        else 0.0
+                    )
+                    rows.append((int(i), f, off, ln, bm))
+                continue
             px = None
             if head.startswith(b"\x89PNG"):
                 px = decode_png_pixels(b)
@@ -510,7 +561,7 @@ def _run_strict_frames(
             if px is None:
                 raise NotImplementedError(
                     f"doc {int(i)}: frame sampling needs a codec this "
-                    "container lacks (video/unknown; WAV windows -> "
+                    "container lacks (unknown format; WAV windows -> "
                     "audio_frame_windows)"
                 )
             rows.append((int(i), 0, 0, len(b), mean01(px)))
