@@ -20,6 +20,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50  # driver checks ~the first 50 queries() entries per round
 
+# entries whose operator code changed AFTER their last green driver row
+# (their old rows no longer vouch) -> annotated into the next round's
+# rotation queue even though they hold a historical green row
+STALE_GREEN = {
+    "cosine_topk", "dedup_embedding_neardup", "ann_lsh_topk",
+    "ann_ivf_topk", "multimodal_meta", "multimodal_decode",
+    "multimodal_frames", "robots_filter", "politeness_budget",
+}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -49,14 +58,18 @@ def main() -> int:
     names = list(mod.queries())
 
     rows = []
+    nxt = args.round + 1
     for i, n in enumerate(names):
         rnds = hist.get(n, [])
         last = f"r{max(rnds)}" if rnds else "never"
-        window = (
-            f"in window (expected r{args.round})"
-            if i < WINDOW
-            else f"past window (r{args.round})"
-        )
+        if i < WINDOW:
+            window = f"in window (expected r{args.round})"
+        elif not rnds or n in STALE_GREEN:
+            # no green row ever, or the operator changed after its last
+            # green row (STALE_GREEN below) -> front of next rotation
+            window = f"past window (r{nxt} queue)"
+        else:
+            window = f"past window (green {last})"
         rows.append(f"| {i} | `{n}` | {last} | {window} |")
     ledger = "\n".join(rows)
 
