@@ -22,7 +22,9 @@ SQL-registered in this build, and ``DataFrame.stat.bloomFilter`` is gone
 in PySpark 4 — hence numpy. The reference has no dedup filter at all
 beyond a per-day Mongo ``find_one`` (nausys_tracker.py:375-387); Bloom
 (not cuckoo) is chosen because the seen-set is append-only — no
-deletions needed (SURVEY.md §7.2).
+deletions needed (SURVEY.md §7.2). States that DO evict (retired
+URLs, in-flight reservations) get the deletable sibling:
+``operators/cuckoo.py``.
 """
 
 from __future__ import annotations

@@ -2431,6 +2431,64 @@ def q_webm_frame_index(spark, sf_dir):
 
 
 @q(
+    "cuckoo_evict",
+    # The oracle checks the filter's hard guarantees as derived counts
+    # (hashing itself is engine-side): inserting the even doc_ids,
+    # deleting the multiples of 4, then probing must find EVERY kept
+    # key (no false negatives, n_kept_present = count(%4==2)), the
+    # item count must drop by exactly the deletions, and for this
+    # pinned key set no deleted key stays visible.
+    """
+    SELECT
+      count(*) FILTER (doc_id % 2 = 0)::BIGINT AS n_inserted,
+      count(*) FILTER (doc_id % 4 = 2)::BIGINT AS n_after_delete,
+      count(*) FILTER (doc_id % 4 = 2)::BIGINT AS n_kept_present,
+      0::BIGINT AS n_deleted_present
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def q_cuckoo_evict(spark, sf_dir):
+    """Deletable URL-state filter (operators/cuckoo.py): partitioned
+    cuckoo filter (Fan et al. 2014) — the companion to the append-only
+    Bloom seen-set for states that EVICT (retired URLs, in-flight
+    reservations). Inserts, deletes, and probes via sharded co-group
+    stages; emits the invariant counts."""
+    from ..operators.cuckoo import (
+        build_cuckoo_table,
+        cuckoo_delete,
+        cuckoo_might_contain,
+    )
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    key = F.xxhash64(F.col("doc_id")).alias("url_hash")
+    evens = docs.filter(F.col("doc_id") % 2 == 0).select(key)
+    table = build_cuckoo_table(evens, n_shards=8, expected_per_shard=256)
+    dels = docs.filter(F.col("doc_id") % 4 == 0).select(key)
+    table2 = cuckoo_delete(table, dels).persist()
+    kept = docs.filter(F.col("doc_id") % 4 == 2).select(key)
+    n_inserted = table.agg(F.sum("n_items").alias("n_inserted"))
+    n_after = table2.agg(F.sum("n_items").alias("n_after_delete"))
+    n_kept = (
+        cuckoo_might_contain(kept, table2)
+        .agg(
+            F.sum(F.col("maybe_member").cast("long")).alias("n_kept_present")
+        )
+    )
+    n_del = (
+        cuckoo_might_contain(dels, table2)
+        .agg(
+            F.sum(F.col("maybe_member").cast("long")).alias(
+                "n_deleted_present"
+            )
+        )
+    )
+    return (
+        n_inserted.crossJoin(n_after).crossJoin(n_kept).crossJoin(n_del)
+    )
+
+
+
+@q(
     "gif_frame_index",
     """
     WITH geo AS (
