@@ -536,3 +536,23 @@ def test_multimodal_strict_frame_sample_containers(spark):
     fr = mp3_frames(rows[2][1])
     for r in by[3]:
         assert (r.offset, r.frame_len) == (fr[r.frame_idx][1], fr[r.frame_idx][2])
+
+
+def test_sniff_media_format_routes_all_eight(spark):
+    from web_scraper_spark.operators.multimodal import (
+        sniff_media_format,
+        with_synth_mixed_media,
+    )
+
+    docs = spark.range(0, 64).select(F.col("id").alias("doc_id"))
+    got = (
+        with_synth_mixed_media(docs)
+        .select("doc_id", sniff_media_format(F.col("data")).alias("fmt"))
+        .collect()
+    )
+    want = ["png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3", "webm"]
+    assert all(r.fmt == want[r.doc_id % 8] for r in got)
+    # unknown bytes stay unknown
+    junk = spark.createDataFrame([(1, b"\x00\x01\x02\x03junkjunk")],
+                                 "doc_id long, data binary")
+    assert junk.select(sniff_media_format(F.col("data")).alias("f")).first().f == "unknown"

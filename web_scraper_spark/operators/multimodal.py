@@ -84,6 +84,34 @@ def sniff_format(data: Column) -> Column:
     return expr
 
 
+def sniff_media_format(data: Column) -> Column:
+    """Full media-container sniff — pure Column expr over the decoders
+    this package really has: png/gif/bmp/jpeg/wav/mp4/mp3/webm.
+    Distinguishes RIFF subtypes by bytes 9-12 and spots ISO BMFF by the
+    ``ftyp`` box type at offset 5. (``sniff_format`` above is the older
+    coarse sniff kept for the pinned ``multimodal_meta`` battery.)"""
+
+    def pre(n: int) -> Column:
+        return F.substring(data, 1, n)
+
+    return (
+        F.when(pre(4) == F.lit(b"\x89PNG"), F.lit("png"))
+        .when(pre(3) == F.lit(b"\xff\xd8\xff"), F.lit("jpeg"))
+        .when(pre(4) == F.lit(b"GIF8"), F.lit("gif"))
+        .when(pre(4) == F.lit(b"\x1a\x45\xdf\xa3"), F.lit("webm"))
+        .when(
+            (pre(4) == F.lit(b"RIFF"))
+            & (F.substring(data, 9, 4) == F.lit(b"WAVE")),
+            F.lit("wav"),
+        )
+        .when(F.substring(data, 5, 4) == F.lit(b"ftyp"), F.lit("mp4"))
+        .when(pre(3) == F.lit(b"ID3"), F.lit("mp3"))
+        .when(pre(2) == F.lit(b"\xff\xfb"), F.lit("mp3"))
+        .when(pre(2) == F.lit(b"BM"), F.lit("bmp"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
 def binary_meta(df: DataFrame, data_col: str = "data") -> DataFrame:
     """Adds (n_bytes, content_md5, format) typed metadata columns."""
     return (
@@ -462,6 +490,45 @@ def frame_sample(
 
     src = df.select(F.col(id_col), F.col(data_col))
     return src.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+def with_synth_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage for the routed pipeline: payload format by
+    ``doc_id % 8`` (png, gif, bmp, jpeg, wav, mp4, mp3, webm), each
+    with the SAME geometry formulas as its dedicated battery so the
+    per-format oracles compose."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType as _Bin
+
+    from .audio import synth_mp3, synth_wav_pcm16
+    from .jpeg import synth_jpeg
+    from .rawmedia import synth_bmp, synth_gif_pixels, synth_png
+    from .video import synth_mp4, synth_webm
+
+    def one(i: int) -> bytes:
+        m = i % 8
+        if m == 0:
+            return synth_png(i, 9 + i % 14, 5 + i % 11, 1 + i % 4)
+        if m == 1:
+            return synth_gif_pixels(i, 9 + i % 14, 5 + i % 11)
+        if m == 2:
+            return synth_bmp(i, 16 + i % 17, 8 + i % 13, 24 + 8 * (i % 2))
+        if m == 3:
+            return synth_jpeg(i, 1 + i % 4, 1 + i % 3)
+        if m == 4:
+            return synth_wav_pcm16(i, 400 + i % 600, 8000 * (1 + i % 2), 1 + i % 2)
+        if m == 5:
+            return synth_mp4(i, 5 + i % 9)
+        if m == 6:
+            return synth_mp3(i, 3 + i % 6)
+        return synth_webm(i, 5 + i % 9)
+
+    @pandas_udf(_Bin())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([one(int(i)) for i in ids])
+
+    return df.withColumn("data", _synth(F.col(id_col)))
 
 
 def _container_frame_extents(b: bytes):

@@ -2489,6 +2489,189 @@ def q_cuckoo_evict(spark, sf_dir):
 
 
 @q(
+    "media_pipeline",
+    # The composed multimodal pipeline: ONE mixed corpus (format by
+    # doc_id % 8), sniffed by magic bytes and routed to eight REAL
+    # decoders, unified into (doc_id, format, units, metric). The
+    # oracle is the UNION of the eight per-format formula replays —
+    # it never parses a container; the engine only matches by sniffing
+    # correctly AND decoding every format correctly in one job.
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    png AS (
+      SELECT doc_id, 9 + doc_id % 14 AS w, 5 + doc_id % 11 AS h,
+             1 + doc_id % 4 AS ch
+      FROM ids WHERE doc_id % 8 = 0
+    ),
+    png_m AS (
+      SELECT p.doc_id, 'png' AS format, (p.w * p.h)::BIGINT AS units,
+             avg((p.doc_id * 2654435761
+                  + ((r.r * p.w + c.c) * p.ch) * 40503) % 256) AS metric
+      FROM png p,
+           unnest(generate_series(0, p.h - 1)) AS r(r),
+           unnest(generate_series(0, p.w - 1)) AS c(c)
+      GROUP BY p.doc_id, p.w, p.h
+    ),
+    gif AS (
+      SELECT doc_id, 9 + doc_id % 14 AS w, 5 + doc_id % 11 AS h
+      FROM ids WHERE doc_id % 8 = 1
+    ),
+    gif_m AS (
+      SELECT g.doc_id, 'gif' AS format, (g.w * g.h)::BIGINT AS units,
+             avg((((g.doc_id * 2654435761 + j.j * 40503) % 256) * 7 + 3) % 256)
+               AS metric
+      FROM gif g, unnest(generate_series(0, g.w * g.h - 1)) AS j(j)
+      GROUP BY g.doc_id, g.w, g.h
+    ),
+    bmp AS (
+      SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h,
+             (24 + 8 * (doc_id % 2)) // 8 AS ch
+      FROM ids WHERE doc_id % 8 = 2
+    ),
+    bmp2 AS (SELECT *, ((w * ch + 3) // 4) * 4 AS stride FROM bmp),
+    bmp_m AS (
+      SELECT b.doc_id, 'bmp' AS format, (b.w * b.h)::BIGINT AS units,
+             avg((b.doc_id * 2654435761
+                  + (r.r * b.stride + c.c * b.ch) * 40503) % 256) AS metric
+      FROM bmp2 b,
+           unnest(generate_series(0, b.h - 1)) AS r(r),
+           unnest(generate_series(0, b.w - 1)) AS c(c)
+      GROUP BY b.doc_id, b.w, b.h
+    ),
+    jpg AS (
+      SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+      FROM ids WHERE doc_id % 8 = 3
+    ),
+    jpg_m AS (
+      SELECT j.doc_id, 'jpeg' AS format,
+             (j.bw * 8 * j.bh * 8)::BIGINT AS units,
+             avg((j.doc_id * 2654435761 + b.b * 40503) % 256) AS metric
+      FROM jpg j, unnest(generate_series(0, j.bw * j.bh - 1)) AS b(b)
+      GROUP BY j.doc_id, j.bw, j.bh
+    ),
+    wav AS (
+      SELECT doc_id, 400 + doc_id % 600 AS frames,
+             (1 + doc_id % 2) AS ch
+      FROM ids WHERE doc_id % 8 = 4
+    ),
+    wav_m AS (
+      SELECT w.doc_id, 'wav' AS format, w.frames::BIGINT AS units,
+             sqrt(sum(s.s * s.s) / (count(*) * 32768.0 * 32768.0)) AS metric
+      FROM wav w, LATERAL (
+        SELECT ((w.doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS s
+        FROM unnest(generate_series(0, w.frames * w.ch - 1)) AS t(i)
+      ) s
+      GROUP BY w.doc_id, w.frames
+    ),
+    mp4 AS (
+      SELECT doc_id, 5 + doc_id % 9 AS n FROM ids WHERE doc_id % 8 = 5
+    ),
+    mp4_m AS (
+      SELECT m.doc_id, 'mp4' AS format, m.n::BIGINT AS units,
+             sum(100 + (m.doc_id * 3 + i.i * 7) % 50)::DOUBLE AS metric
+      FROM mp4 m, unnest(generate_series(0, m.n - 1)) AS i(i)
+      GROUP BY m.doc_id, m.n
+    ),
+    mp3 AS (
+      SELECT doc_id, 3 + doc_id % 6 AS n FROM ids WHERE doc_id % 8 = 6
+    ),
+    mp3_m AS (
+      SELECT m.doc_id, 'mp3' AS format, m.n::BIGINT AS units,
+             sum((144000 * list_extract(
+                    [32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                    (1 + (m.doc_id * 3 + i.i) % 14)::INT))
+                 // list_extract([44100,48000,32000], (i.i % 3 + 1)::INT)
+                 + (m.doc_id + i.i) % 2)::DOUBLE AS metric
+      FROM mp3 m, unnest(generate_series(0, m.n - 1)) AS i(i)
+      GROUP BY m.doc_id, m.n
+    ),
+    webm AS (
+      SELECT doc_id, 5 + doc_id % 9 AS n FROM ids WHERE doc_id % 8 = 7
+    ),
+    webm_m AS (
+      SELECT w.doc_id, 'webm' AS format, w.n::BIGINT AS units,
+             sum(60 + (w.doc_id * 5 + i.i * 11) % 40)::DOUBLE AS metric
+      FROM webm w, unnest(generate_series(0, w.n - 1)) AS i(i)
+      GROUP BY w.doc_id, w.n
+    )
+    SELECT * FROM png_m UNION ALL SELECT * FROM gif_m
+    UNION ALL SELECT * FROM bmp_m UNION ALL SELECT * FROM jpg_m
+    UNION ALL SELECT * FROM wav_m UNION ALL SELECT * FROM mp4_m
+    UNION ALL SELECT * FROM mp3_m UNION ALL SELECT * FROM webm_m
+    """,
+)
+def q_media_pipeline(spark, sf_dir):
+    """The composed multimodal pipeline: one mixed binary corpus,
+    magic-byte sniff (sniff_media_format), route to the eight real
+    decoders (PNG/GIF/BMP/JPEG pixels, WAV samples, MP4/MP3/WebM frame
+    indexes), unify into (doc_id, format, units, metric)."""
+    from ..operators.audio import decode_audio_features, mp3_frame_index
+    from ..operators.jpeg import decode_jpeg_features
+    from ..operators.multimodal import sniff_media_format, with_synth_mixed_media
+    from ..operators.rawmedia import (
+        decode_bmp_features,
+        decode_gif_features,
+        decode_png_features,
+    )
+    from ..operators.video import mp4_frame_index, webm_frame_index
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    routed = with_synth_mixed_media(docs).withColumn(
+        "format", sniff_media_format(F.col("data"))
+    )
+
+    def sub(fmt):
+        return routed.filter(F.col("format") == fmt).select("doc_id", "data")
+
+    def img(decoder, fmt, mean_col):
+        out = decoder(sub(fmt))
+        return out.select(
+            "doc_id",
+            F.lit(fmt).alias("format"),
+            (F.col("width") * F.col("height")).cast("long").alias("units"),
+            F.col(mean_col).alias("metric"),
+        )
+
+    def frames(stage, fmt):
+        return (
+            stage(sub(fmt))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("units"),
+                F.sum("frame_len").cast("double").alias("metric"),
+            )
+            .select("doc_id", F.lit(fmt).alias("format"), "units", "metric")
+        )
+
+    wav = (
+        decode_audio_features(sub("wav"))
+        .select(
+            "doc_id",
+            F.lit("wav").alias("format"),
+            F.col("n_frames").alias("units"),
+            F.col("rms").alias("metric"),
+        )
+    )
+    parts = [
+        img(decode_png_features, "png", "mean_c0"),
+        img(decode_gif_features, "gif", "mean_r"),
+        img(decode_bmp_features, "bmp", "mean_b"),
+        img(decode_jpeg_features, "jpeg", "mean_c0"),
+        wav,
+        frames(mp4_frame_index, "mp4"),
+        frames(mp3_frame_index, "mp3"),
+        frames(webm_frame_index, "webm"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+
+@q(
     "gif_frame_index",
     """
     WITH geo AS (
