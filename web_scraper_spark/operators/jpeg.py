@@ -437,6 +437,10 @@ def _parse(data: bytes):
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers (TEM, RSTn, stray SOI) carry no length
+            pos += 2
+            continue
         length = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         seg = data[pos + 4 : pos + 2 + length]
         if len(seg) != length - 2:

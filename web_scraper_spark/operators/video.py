@@ -149,7 +149,7 @@ def parse_mp4(data: bytes):
         if mdhd is not None:
             hb, he = mdhd
             version = data[hb]
-            if version == 1 and hb + 28 <= he:
+            if version == 1 and hb + 32 <= he:
                 trk["timescale"] = int.from_bytes(data[hb + 20 : hb + 24], "big")
                 trk["duration"] = int.from_bytes(data[hb + 24 : hb + 32], "big")
             elif hb + 20 <= he:
