@@ -51,6 +51,7 @@ __all__ = [
 CUCKOO_SCHEMA = StructType(
     [
         StructField("shard_id", IntegerType(), False),
+        StructField("n_shards", IntegerType(), False),
         StructField("n_buckets", LongType(), False),  # power of two
         StructField("n_items", LongType(), False),
         StructField("n_overflow", LongType(), False),
@@ -150,6 +151,7 @@ def build_cuckoo_table(
         return pd.DataFrame(
             {
                 "shard_id": [shard],
+                "n_shards": [n_shards],
                 "n_buckets": [n_buckets],
                 "n_items": [n],
                 "n_overflow": [overflow],
@@ -197,8 +199,9 @@ def cuckoo_delete(
         out["n_items"] = out["n_items"] - removed
         return out
 
-    # shard count = max shard id + 1 (one filter row per shard)
-    shards = table_df.select(F.max("shard_id")).first()[0] + 1
+    # shard count travels in the filter rows: a shard that happened to
+    # receive no keys at build time must not change probe routing
+    shards = table_df.select(F.max("n_shards")).first()[0]
     keyed = keys_df.select(
         F.col(key_col),
         F.pmod(F.col(key_col), F.lit(shards)).cast("int").alias("shard_id"),
@@ -244,7 +247,7 @@ def cuckoo_might_contain(
         ).any(axis=1)
         return pd.DataFrame({key_col: keys.astype(np.int64), "maybe_member": hit})
 
-    shards = table_df.select(F.max("shard_id")).first()[0] + 1
+    shards = table_df.select(F.max("n_shards")).first()[0]
     keyed = candidates.select(
         F.col(key_col),
         F.pmod(F.col(key_col), F.lit(shards)).cast("int").alias("shard_id"),
