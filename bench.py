@@ -97,6 +97,19 @@ HEADLINE = [
     "focus_scores",
     "c4_filters",
     "gopher_filters",
+    # round-4 additions: frontier scoring, real media decode, state
+    "trustrank_scores",
+    "opic_scores",
+    "budget_allocation",
+    "png_pixel_decode",
+    "gif_pixel_decode",
+    "jpeg_pixel_decode",
+    "mp4_frame_index",
+    "webm_frame_index",
+    "mp3_frame_index",
+    "media_pipeline",
+    "cuckoo_evict",
+    "audio_wav_decode",
 ]
 
 
