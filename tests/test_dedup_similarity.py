@@ -556,3 +556,22 @@ def test_sniff_media_format_routes_all_eight(spark):
     junk = spark.createDataFrame([(1, b"\x00\x01\x02\x03junkjunk")],
                                  "doc_id long, data binary")
     assert junk.select(sniff_media_format(F.col("data")).alias("f")).first().f == "unknown"
+
+
+def test_multimodal_strict_container_features(spark):
+    from web_scraper_spark.operators.audio import synth_mp3
+    from web_scraper_spark.operators.video import synth_mp4, synth_webm
+
+    rows = [(1, synth_mp4(1, 9)), (2, synth_webm(2, 7)), (3, synth_mp3(3, 5))]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {
+        r.doc_id: r
+        for r in decode_features(df, "data", "doc_id", strict=True).collect()
+    }
+    assert got[1].format == "mp4" and got[1].n_frames == 9
+    assert got[1].feature[0] == 9.0          # n_samples
+    assert got[1].feature[1] == 3.0          # keyframes every 4th of 9
+    assert got[1].feature[4:6] == [32.0, 32.0]  # 16*(1+1%5), 16*(1+1%3)
+    assert got[2].format == "webm" and got[2].n_frames == 7
+    assert got[2].feature[1] == 2.0          # keyframes at k==0 of 2 clusters
+    assert got[3].format == "mp3" and got[3].n_frames == 5

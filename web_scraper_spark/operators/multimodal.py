@@ -271,9 +271,12 @@ def decode_features(
     aspect]`` (pixel stats /255), WAV emits ``[channels, rate/1e5,
     bits/64, n_frames scaled, mean, std, min, max]`` over samples
     normalized to the bit depth; ``n_frames`` is the true GIF frame
-    count (1 for static images, PCM frame count for WAV). A payload
-    that genuinely needs a codec this container lacks (video, unknown
-    bytes) raises ``NotImplementedError`` — strict mode never emits a
+    count (1 for static images, PCM frame count for WAV). MP4/WebM/MP3
+    payloads emit real CONTAINER-level features (frame/keyframe
+    counts, duration, mean coded-frame length, dimensions — no
+    pixel-decode claim). Only a payload that genuinely needs a codec
+    this container lacks (unknown bytes, raw video elementary streams)
+    raises ``NotImplementedError`` — strict mode never emits a
     stand-in value.
 
     By default (``strict=False``) it emits the deterministic
@@ -364,6 +367,79 @@ def _strict_decode_one(raw: bytes, feature_dim: int):
             "wav",
             pad([channels, rate / 1e5, bits / 64.0, min(n_frames, 10**6) / 1e6] + stats),
             int(n_frames),
+        )
+    elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+        from .video import mp4_sample_offsets, parse_mp4
+
+        tracks = parse_mp4(raw)
+        vid = next((t for t in tracks or () if t["handler"] == "vide"), None)
+        if vid is None:
+            return None
+        offs = mp4_sample_offsets(vid) or []
+        dur = (
+            vid["duration"] / vid["timescale"]
+            if vid["timescale"] and vid["duration"] is not None
+            else 0.0
+        )
+        mean_len = float(np.mean([ln for _o, ln in offs])) if offs else 0.0
+        return (
+            "mp4",
+            pad(
+                [
+                    len(offs),
+                    len(vid["sync"]),
+                    dur,
+                    mean_len,
+                    vid["width"] or 0,
+                    vid["height"] or 0,
+                ]
+            ),
+            len(offs),
+        )
+    elif head.startswith(b"\x1a\x45\xdf\xa3"):
+        from .video import parse_webm
+
+        parsed = parse_webm(raw)
+        if parsed is None:
+            return None
+        fr = parsed["frames"]
+        vid = next((t for t in parsed["tracks"] if t[1] == 1), None)
+        mean_len = float(np.mean([f[3] for f in fr])) if fr else 0.0
+        kf = sum(f[4] for f in fr)
+        return (
+            "webm",
+            pad(
+                [
+                    len(fr),
+                    kf,
+                    (max((f[1] for f in fr), default=0)) / 1000.0,
+                    mean_len,
+                    (vid[3] or 0) if vid else 0,
+                    (vid[4] or 0) if vid else 0,
+                ]
+            ),
+            len(fr),
+        )
+    elif head.startswith(b"ID3") or (
+        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xFE) == 0xFA
+    ):
+        from .audio import mp3_frames
+
+        fr = mp3_frames(raw)
+        if fr is None:
+            return None
+        dur = sum(1152.0 / sr for _i, _o, _l, _br, sr in fr)
+        return (
+            "mp3",
+            pad(
+                [
+                    len(fr),
+                    dur,
+                    float(np.mean([br for *_x, br, _sr in fr])),
+                    float(np.mean([ln for _i, _o, ln, _br, _sr in fr])),
+                ]
+            ),
+            len(fr),
         )
     else:
         return None
