@@ -199,3 +199,45 @@ def test_mp3_stage_rows(spark):
     assert {r.sample_rate for r in rows} == {44100, 48000, 32000}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Ogg page index
+# ---------------------------------------------------------------------------
+
+
+def test_ogg_page_walk_and_crc():
+    from web_scraper_spark.operators.audio import ogg_pages, synth_ogg
+
+    for d in range(14):
+        n = 3 + d % 7
+        pg = ogg_pages(synth_ogg(d, n))
+        assert pg is not None and len(pg) == n
+        cum = 0
+        for i, (idx, off, ln, gran, ser, bos, eos) in enumerate(pg):
+            want = 50 + (d * 7 + i * 13) % 60
+            assert (idx, off, ln) == (i, 28 * (i + 1) + cum, want)
+            assert gran == (i + 1) * 256 + d % 32 and ser == d % 1000
+            assert (bos, eos) == (int(i == 0), int(i == n - 1))
+            cum += want
+    # CRC: one flipped payload byte kills that page, keeps the prefix
+    data = synth_ogg(3, 4)
+    bad = bytearray(data)
+    bad[-5] ^= 0xFF
+    assert len(ogg_pages(bytes(bad))) == 3
+    assert ogg_pages(b"") is None
+    assert ogg_pages(b"OggS" + bytes(30)) is None  # crc of garbage fails
+
+
+def test_ogg_stage_rows(spark):
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.operators.audio import ogg_page_index, with_synth_ogg
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = ogg_page_index(with_synth_ogg(docs))
+    rows = out.collect()
+    assert len(rows) == sum(3 + d % 7 for d in range(12))
+    assert sum(r.is_bos for r in rows) == 12 and sum(r.is_eos for r in rows) == 12
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

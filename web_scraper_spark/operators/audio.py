@@ -65,6 +65,9 @@ __all__ = [
     "mp3_frames",
     "mp3_frame_index",
     "synth_mp3",
+    "ogg_pages",
+    "ogg_page_index",
+    "synth_ogg",
 ]
 
 # deterministic sample generator constants (Knuth multiplicative hash
@@ -479,5 +482,148 @@ def with_synth_mp3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     @pandas_udf(BinaryType())
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_mp3(int(i), 3 + int(i) % 6) for i in ids])
+
+    return df.withColumn("data", _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) page index — REAL page walk with CRC verification.
+# Vorbis/Opus packet decode needs a codec; the PAGE STRUCTURE does not:
+# capture pattern + lacing table + the spec's CRC-32 (poly 0x04C11DB7,
+# unreflected, init/xorout 0) give per-page byte extents, granule
+# positions, and stream boundaries — the web-audio container analog of
+# the MP4/WebM frame indexes.
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE = []
+
+
+def _ogg_crc(data: bytes) -> int:
+    if not _OGG_CRC_TABLE:
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            _OGG_CRC_TABLE.append(r & 0xFFFFFFFF)
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def ogg_pages(data: bytes):
+    """Walk Ogg pages -> [(page_idx, offset, payload_len, granule,
+    serial, is_bos, is_eos)] or None when no valid page exists.
+    ``offset`` is the payload's byte position (after the 27-byte header
+    + lacing table). Each page's CRC is verified (field zeroed per the
+    spec); a corrupt or truncated trailing page ends the walk, keeping
+    the valid prefix."""
+    n = len(data)
+    pos = 0
+    pages = []
+    while pos + 27 <= n:
+        if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+            break
+        hdr_type = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6 : pos + 14], "little", signed=True)
+        serial = int.from_bytes(data[pos + 14 : pos + 18], "little")
+        crc_stored = int.from_bytes(data[pos + 22 : pos + 26], "little")
+        nsegs = data[pos + 26]
+        lace_end = pos + 27 + nsegs
+        if lace_end > n:
+            break
+        payload_len = sum(data[pos + 27 : lace_end])
+        page_end = lace_end + payload_len
+        if page_end > n:
+            break
+        page = bytearray(data[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc_stored:
+            break
+        pages.append(
+            (
+                len(pages),
+                lace_end,
+                payload_len,
+                granule,
+                serial,
+                1 if hdr_type & 0x02 else 0,
+                1 if hdr_type & 0x04 else 0,
+            )
+        )
+        pos = page_end
+    return pages or None
+
+
+def synth_ogg(doc_id: int, n_pages: int) -> bytes:
+    """A valid Ogg stream (real CRCs) whose page ``i`` carries one
+    ``50 + (doc_id*7 + i*13) % 60``-byte segment at granule
+    ``(i+1)*256 + doc_id%32``, serial ``doc_id % 1000`` — with the
+    28-byte fixed header+lacing, page i's payload offset is the closed
+    form ``28*(i+1) + sum(len_j for j < i)`` the oracle replays."""
+    out = bytearray()
+    serial = doc_id % 1000
+    for i in range(n_pages):
+        ln = 50 + (doc_id * 7 + i * 13) % 60
+        htype = 0x02 if i == 0 else (0x04 if i == n_pages - 1 else 0x00)
+        granule = (i + 1) * 256 + doc_id % 32
+        payload = bytes((doc_id + i + k) % 256 for k in range(ln))
+        page = bytearray(b"OggS")
+        page += bytes([0, htype])
+        page += granule.to_bytes(8, "little")
+        page += serial.to_bytes(4, "little")
+        page += i.to_bytes(4, "little")
+        page += b"\x00\x00\x00\x00"  # crc placeholder
+        page += bytes([1, ln])  # one lacing value
+        page += payload
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = crc.to_bytes(4, "little")
+        out += page
+    return bytes(out)
+
+
+_OGG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("page_idx", IntegerType(), False),
+        StructField("offset", LongType(), False),
+        StructField("page_len", IntegerType(), False),
+        StructField("granule", LongType(), False),
+        StructField("serial", LongType(), False),
+        StructField("is_bos", IntegerType(), False),
+        StructField("is_eos", IntegerType(), False),
+    ]
+)
+
+
+def ogg_page_index(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per CRC-verified Ogg page with its payload byte extent,
+    granule position, and stream flags. Undecodable payloads emit
+    nothing; one Arrow pass on the scan layout."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, v in zip(b[id_col], b[data_col]):
+                pg = ogg_pages(bytes(v)) if v is not None else None
+                for idx, off, ln, gran, ser, bos, eos in pg or ():
+                    rows.append((int(d), idx, off, ln, gran, ser, bos, eos))
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in _OGG_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=_OGG_SCHEMA)
+
+
+def with_synth_ogg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage: Ogg stream with ``n_pages = 3 + id%7``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_ogg(int(i), 3 + int(i) % 7) for i in ids])
 
     return df.withColumn("data", _synth(F.col(id_col)))

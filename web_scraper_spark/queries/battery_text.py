@@ -2672,6 +2672,49 @@ def q_media_pipeline(spark, sf_dir):
 
 
 @q(
+    "ogg_page_index",
+    # With one lacing value per page the header is a fixed 28 bytes, so
+    # page i's payload offset is 28*(i+1) + cumsum(prior lens) with
+    # len_i = 50 + (id*7 + i*13) % 60 — the oracle replays that plus
+    # granule/serial/BOS/EOS formulas; the engine must walk real pages
+    # AND verify each page's RFC 3533 CRC-32 to match.
+    """
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 7 AS n FROM documents WHERE doc_id < 64
+    ),
+    p AS (
+      SELECT g.doc_id, g.n, i.i AS page_idx,
+             50 + (g.doc_id * 7 + i.i * 13) % 60 AS page_len
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id, page_idx::INT AS page_idx,
+           (28 * (page_idx + 1) + coalesce(sum(page_len) OVER (
+              PARTITION BY doc_id ORDER BY page_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS "offset",
+           page_len::INT AS page_len,
+           ((page_idx + 1) * 256 + doc_id % 32)::BIGINT AS granule,
+           (doc_id % 1000)::BIGINT AS serial,
+           (CASE WHEN page_idx = 0 THEN 1 ELSE 0 END)::INT AS is_bos,
+           (CASE WHEN page_idx = n - 1 THEN 1 ELSE 0 END)::INT AS is_eos
+    FROM p
+    """,
+)
+def q_ogg_page_index(spark, sf_dir):
+    """REAL Ogg (RFC 3533) page walk (operators/audio.py): per-page
+    payload byte extents, granule positions, and stream flags, with
+    every page's CRC-32 verified — Vorbis/Opus packet decode needs a
+    codec; the page index does not."""
+    from ..operators.audio import ogg_page_index, with_synth_ogg
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return ogg_page_index(with_synth_ogg(docs))
+
+
+
+@q(
     "gif_frame_index",
     """
     WITH geo AS (
