@@ -110,6 +110,7 @@ HEADLINE = [
     "media_pipeline",
     "cuckoo_evict",
     "audio_wav_decode",
+    "ogg_page_index",
 ]
 
 

@@ -11,11 +11,10 @@ real and tested. Decode capability is split honestly:
   headers (dimensions, bit depth, channels) by byte layout — works
   without any media library, no stand-in. This covers the metadata
   tier a corpus pipeline needs to size/route/filter image payloads.
-- ``decode_features`` / ``frame_sample``: pixel/frame-level work is
-  STUBBED (no image/audio libraries in this container): deterministic
-  fake features derived from the bytes, or ``NotImplementedError``
-  when ``strict=True`` (the clearly-marked stub a PIL/ffmpeg decoder
-  drops into).
+- ``decode_features`` / ``frame_sample``: the default path is the
+  deterministic byte-arithmetic stand-in (cheap, fully oracle-checked);
+  ``strict=True`` routes through the REAL codec-free decoders below —
+  only unknown bytes raise.
 
 Every image and audio format here is now a REAL end-to-end decode
 (oracle-checked bit-for-bit), shrinking the stub surface to video
@@ -86,7 +85,7 @@ def sniff_format(data: Column) -> Column:
 
 def sniff_media_format(data: Column) -> Column:
     """Full media-container sniff — pure Column expr over the decoders
-    this package really has: png/gif/bmp/jpeg/wav/mp4/mp3/webm.
+    this package really has: png/gif/bmp/jpeg/wav/mp4/mp3/webm/ogg.
     Distinguishes RIFF subtypes by bytes 9-12 and spots ISO BMFF by the
     ``ftyp`` box type at offset 5. (``sniff_format`` above is the older
     coarse sniff kept for the pinned ``multimodal_meta`` battery.)"""
@@ -105,6 +104,7 @@ def sniff_media_format(data: Column) -> Column:
             F.lit("wav"),
         )
         .when(F.substring(data, 5, 4) == F.lit(b"ftyp"), F.lit("mp4"))
+        .when(pre(4) == F.lit(b"OggS"), F.lit("ogg"))
         .when(pre(3) == F.lit(b"ID3"), F.lit("mp3"))
         .when(pre(2) == F.lit(b"\xff\xfb"), F.lit("mp3"))
         .when(pre(2) == F.lit(b"BM"), F.lit("bmp"))
