@@ -111,9 +111,11 @@ def _insert_one(table: np.ndarray, n_buckets: int, b1: int, fp: int, rng_state: 
     # kick loop: deterministic LCG so the filter is reproducible
     b = b1
     cur = fp
+    trail = []  # (bucket, slot) of every swap, for rollback on overflow
     for _ in range(_MAX_KICKS):
         rng_state = (rng_state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         slot = (rng_state >> 33) % _SLOTS
+        trail.append((b, slot))
         cur, table[b][slot] = int(table[b][slot]), cur
         b = int(_alt_bucket(np.array([b]), np.array([cur], np.uint16), n_buckets)[0])
         row = table[b]
@@ -121,7 +123,12 @@ def _insert_one(table: np.ndarray, n_buckets: int, b1: int, fp: int, rng_state: 
         if empties.size:
             row[empties[0]] = cur
             return True, rng_state
-    return False, rng_state  # overflow: caller counts it (no silent loss)
+    # overflow: unwind the swaps so the table returns to its pre-insert
+    # state — the dropped key is then the NEW one (the one n_overflow
+    # counts), never an arbitrary previously-inserted victim
+    for tb, tslot in reversed(trail):
+        cur, table[tb][tslot] = int(table[tb][tslot]), cur
+    return False, rng_state  # caller counts the overflow (no silent loss)
 
 
 def build_cuckoo_table(

@@ -522,6 +522,14 @@ def decode_jpeg_coefficients(data: bytes):
         return None
     mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    # SOF0 dims are 2 untrusted bytes each (up to 65535×65535 ≈ 1.1e9
+    # blocks ≈ 35 GB of coefficient arrays). Every coded block consumes
+    # >=2 bits of entropy data (a DC size code + EOB), so total blocks
+    # beyond 8x the payload byte length cannot be backed by real data —
+    # reject before allocating rather than OOM the Arrow stage.
+    total_blocks = mcus_x * mcus_y * sum(ch * cv for _cid, ch, cv, _tq in comps)
+    if total_blocks > 8 * len(data):
+        return None
     out = {}
     for cid, ch, cv, _tq in comps:
         out[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 8, 8), np.int64)

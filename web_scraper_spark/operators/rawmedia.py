@@ -344,11 +344,16 @@ def decode_png_pixels(data: bytes):
         return None
     w, h, _depth, _color, ch, idat = hdr
     stride = w * ch
+    # a conforming image inflates to exactly h*(1+stride) bytes; cap the
+    # inflation at that +1 so a crafted IDAT decompression bomb (~1000x
+    # expansion) can't balloon into memory before the length check
+    expected = h * (1 + stride)
     try:
-        raw = zlib.decompress(idat)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected + 1)
     except zlib.error:
         return None
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected or dec.unconsumed_tail:
         return None
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -179,6 +179,12 @@ def parse_mp4(data: bytes):
                 fixed = int.from_bytes(data[zb + 4 : zb + 8], "big")
                 count = int.from_bytes(data[zb + 8 : zb + 12], "big")
                 if fixed:
+                    # count comes from 4 untrusted bytes (up to 2^32);
+                    # every sample occupies >=1 byte of the container, so
+                    # a count beyond the payload length is malformed —
+                    # reject instead of allocating a multi-GB list
+                    if count > len(data):
+                        return None
                     trk["sizes"] = [fixed] * count
                 else:
                     if zb + 12 + 4 * count > ze:
