@@ -84,86 +84,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver-check ordering. The correctness driver verifies the FIRST ~50
-# entries of queries() per round (r1: 37, r2: 49, r3: exactly positions
-# 0-49); with 75 registered entries, check coverage must ROTATE across
-# rounds so every entry accumulates a green CORRECTNESS row. Priority:
+# entries of queries() per round (r1: 37, r2: 49, r3/r4: exactly
+# positions 0-49); with 119+ registered entries, check coverage must
+# ROTATE across rounds so every entry accumulates a green CORRECTNESS
+# row. Priority:
 #   1. entries that have NEVER had a driver check, or whose last green
-#      row predates this round's code changes;
-#   2. entries whose operators changed this round (robots path+query
-#      target, domain-grain politeness, charset labels, WARC streaming,
-#      components convergence) — their old green rows no longer vouch
-#      for the current code;
-#   3. entries each being the sole green signal for a §2 operator.
+#      row predates a rewrite of their operator (r5: the late-r4 media/
+#      cuckoo batch, the similarity/multimodal group, robots_filter,
+#      politeness_budget — VERDICT r4 item #1);
+#   2. entries whose operators changed this round (r5: the untrusted-
+#      payload bounds in jpeg/rawmedia/video/cuckoo);
+#   3. the oldest surviving green rows (r2 trio, then r3 in registry
+#      order).
 # Entries past the window all hold an unchanged-code green row from a
 # prior round (see COVERAGE.md per-entry round ledger).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # never driver-checked before round 4 (registered in round 3)
-    "line_dedup",
-    "pii_scrub",
-    "sitemap_parse",
-    "charset_decode",
-    "lm_perplexity",
-    "text_normalize",
-    "warc_roundtrip",
-    "ann_ivf_kmeans_topk",
-    "dedup_components",
-    "dedup_cluster_keep",
-    "source_mixture_rates",
-    "mixture_sample",
-    "source_quality_gate",
-    "span_dedup",
-    # new in round 4 → need their first driver check
-    "image_header_decode",
-    "content_extract",
-    "redirect_resolve",
-    "canonical_collapse",
-    "anchor_topk",
-    "term_postings",
-    "cache_policy",
-    "url_classify",
-    "shard_balance",
-    "hll_distinct",
-    "cms_heavy_hitters",
-    "hits_scores",
-    "bm25_topk",
-    "robots_sitemap_discovery",
-    # new in round 4 (second batch) → need their first driver check
-    "session_windows",
-    "bigram_lm_score",
-    "link_reciprocity",
-    "semdedup_prune",
-    "doc_chunk",
-    "soft404_detect",
-    # new in round 4 (third batch) → need their first driver check
-    "dust_rules",
-    "surt_cdx",
-    "focus_scores",
-    "c4_filters",
-    "gopher_filters",
-    # new in round 4 (fourth batch: frontier scoring + raw media)
-    "trustrank_scores",
-    "spam_mass_hosts",
-    "opic_scores",
-    "domain_split",
-    "budget_allocation",
-    "audio_wav_decode",
-    "audio_frame_windows",
-    "bmp_pixel_decode",
-    "gif_frame_index",
-    # operator rewritten in round 4 (ADVICE: robots path+query match
-    # target, octet specificity) → its r2/r3 green rows no longer vouch;
-    # robots_wildcard is the strictest exercise of the new matcher
-    "robots_wildcard",
-    # streaming-semantics representative, kept inside the window
-    # (verdict r3 item #7); the streaming gate changed in r3 (d990d92)
-    "events_hour_window",
-    # ---- window boundary (50): everything below holds a green driver
-    # row from r2/r3 (COVERAGE.md ledger per-entry rounds). Queued FIRST
-    # for the round-5 rotation: the similarity/multimodal group (code
-    # changed after their r2 rows) and robots_filter/politeness_budget
-    # (ADVICE rewrites; pinned meanwhile by pytest parity twins and the
-    # local 109/109 check_correctness run) ----
+    # registered late in round 4 → never driver-checked; the media/cuckoo
+    # modules also took the r5 untrusted-payload bound fixes, so these are
+    # doubly due (VERDICT r4 "Next round" #1)
+    "png_pixel_decode",
+    "gif_pixel_decode",
+    "jpeg_pixel_decode",
+    "mp4_track_index",
+    "mp4_frame_index",
+    "mp3_frame_index",
+    "webm_frame_index",
+    "cuckoo_evict",
+    "media_pipeline",
+    "ogg_page_index",
+    # green rows predate an r3/r4 rewrite of their operator (similarity
+    # head/IVF re-layout; multimodal strict-decode split; robots RFC 9309
+    # match target; politeness domain-grain budget) → old rows no longer
+    # vouch for the current code
     "cosine_topk",
     "dedup_embedding_neardup",
     "ann_lsh_topk",
@@ -173,6 +126,8 @@ _CHECK_FIRST = [
     "multimodal_frames",
     "robots_filter",
     "politeness_budget",
+    # oldest surviving green rows: the r2 trio, then r3 rows in registry
+    # order (all other entries hold an unchanged-code r4 green row)
     "pricing_summary",
     "top_revenue_orders",
     "nation_volume",
@@ -198,6 +153,34 @@ _CHECK_FIRST = [
     "price_compare",
     "latest_per_key",
     "fetch_metrics",
+    "url_canonicalize",
+    "url_dedup_variants",
+    "registrable_domain",
+    "weekly_periods",
+    "parse_price",
+    "price_regex_parse",
+    "format_currency",
+    # ---- window boundary (~50): every entry below holds a green driver
+    # row from r3/r4 with operator code unchanged since (COVERAGE.md
+    # per-entry ledger) ----
+    "collect_periods",
+    "date_format_api",
+    "epoch_millis",
+    "host_fetch_stats",
+    "host_priority_blend",
+    "weekly_periods_mmk",
+    "listing_enrich",
+    "price_sanity",
+    "price_sibling_extract",
+    "param_template_scan",
+    "seeds_map_accum",
+    "fingerprint_docs",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "repetition_score",
+    "web_noise",
+    "contact_density",
 ]
 
 
