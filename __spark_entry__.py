@@ -100,6 +100,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round (see COVERAGE.md per-entry round ledger).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
+    # NEW in round 5 (H.264 Annex-B NAL index, VERDICT next-round #4)
+    "h264_nal_index",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)
@@ -159,10 +161,10 @@ _CHECK_FIRST = [
     "weekly_periods",
     "parse_price",
     "price_regex_parse",
-    "format_currency",
     # ---- window boundary (~50): every entry below holds a green driver
     # row from r3/r4 with operator code unchanged since (COVERAGE.md
     # per-entry ledger) ----
+    "format_currency",
     "collect_periods",
     "date_format_api",
     "epoch_millis",

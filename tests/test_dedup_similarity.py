@@ -552,10 +552,19 @@ def test_sniff_media_format_routes_all_eight(spark):
     )
     want = ["png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3", "webm"]
     assert all(r.fmt == want[r.doc_id % 8] for r in got)
-    # unknown bytes stay unknown
-    junk = spark.createDataFrame([(1, b"\x00\x01\x02\x03junkjunk")],
-                                 "doc_id long, data binary")
-    assert junk.select(sniff_media_format(F.col("data")).alias("f")).first().f == "unknown"
+    # unknown bytes stay unknown; bare Annex-B start codes route to h264
+    extra = spark.createDataFrame(
+        [
+            (1, b"\x00\x01\x02\x03junkjunk", "unknown"),
+            (2, b"\x00\x00\x00\x01\x67abc", "h264"),
+            (3, b"\x00\x00\x01\x41abc", "h264"),
+        ],
+        "doc_id long, data binary, want string",
+    )
+    for r in extra.select(
+        sniff_media_format(F.col("data")).alias("f"), "want"
+    ).collect():
+        assert r.f == r.want
 
 
 def test_multimodal_strict_container_features(spark):

@@ -108,6 +108,10 @@ def sniff_media_format(data: Column) -> Column:
         .when(pre(3) == F.lit(b"ID3"), F.lit("mp3"))
         .when(pre(2) == F.lit(b"\xff\xfb"), F.lit("mp3"))
         .when(pre(2) == F.lit(b"BM"), F.lit("bmp"))
+        # bare H.264 Annex-B elementary stream: 3/4-byte start code at
+        # byte 0 (no container writes a leading 0x000001)
+        .when(pre(4) == F.lit(b"\x00\x00\x00\x01"), F.lit("h264"))
+        .when(pre(3) == F.lit(b"\x00\x00\x01"), F.lit("h264"))
         .otherwise(F.lit("unknown"))
     )
 
