@@ -190,3 +190,58 @@ def test_domain_grain_one_budget_monotonic_in_priority(spark):
     )
     # exactly the two highest-priority rows of the domain, no skips
     assert got == [0, 1]
+
+
+def test_round_level_hot_host_layout_balanced(spark):
+    """VERDICT r4 #8 — the adversarial round-shape check: a frontier
+    where ONE host owns 99% of rows must still produce a balanced
+    fetch/extraction layout. Two gates, matching the two mechanisms:
+
+    1. politeness cap: the hot host contributes exactly its budget to
+       the selected batch, independent of its 99% share;
+    2. re-hash: after the engine's exact fetch-layout expression —
+       ``repartition(par, url_hash)`` (plans/rounds.py shuffle path) —
+       the max partition holds no more than 2x the mean (in practice
+       within a few %: per-row 64-bit hash, multinomial balance).
+       Extraction cost is per-row (Arrow batch over rows), so
+       partition-row balance IS the deterministic stand-in for
+       max-task-time <= ~2x median; asserting wall-clock per task
+       would be boot-lottery noise. The earlier
+       ``(host_bucket, url_hash % par)`` salt FAILED this bar at 2.2x
+       (8 salt values into 8 partitions collide); this test is the
+       regression pin for the fix.
+    """
+    from web_scraper_spark.functions.urls import url_hash
+
+    # 99% hot: 99k hot rows vs 25 cold hosts x 40 rows = 1k cold
+    frontier = _skewed_frontier(spark, hot_rows=99_000, cold_hosts=25, cold_rows=40)
+    robots = spark.createDataFrame(
+        [("hot.example.com", 2)], "host string, crawl_delay_s int"
+    )
+    # budgets: hot 3000/2 = 1500, cold 3000/30 = 100 (capped at 40 rows)
+    spec = PolitenessSpec(
+        round_seconds=3000, global_batch_urls=1_000_000, global_pause_s=3000
+    )
+    sel = select_polite(frontier, robots, spec)
+    per_host = {
+        r.host: r.n
+        for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host["hot.example.com"] == 1500  # capped, not 99k
+    assert per_host["cold0.example.com"] == 40
+
+    # the engine's fetch/extraction layout on the selected batch
+    par = spark.sparkContext.defaultParallelism
+    laid_out = sel.withColumn("url_hash", url_hash(F.col("url"))).repartition(
+        par, F.col("url_hash")
+    )
+    sizes = laid_out.rdd.glom().map(len).collect()
+    filled = [s for s in sizes if s > 0]
+    mean = sum(filled) / len(filled)
+    assert len(filled) >= par // 2  # the hot host spread across workers
+    assert max(filled) <= 2 * mean, (max(filled), mean, sizes)
+    # WITHOUT the salt (host-only layout) the hot host is one partition:
+    # pin the counterfactual so the salt stays load-bearing
+    unsalted = sel.repartition(par, F.col("host"))
+    worst = max(unsalted.rdd.glom().map(len).collect())
+    assert worst >= per_host["hot.example.com"]  # all 1500 on one task

@@ -801,19 +801,20 @@ class CrawlEngine:
                 # confirmed identity, same contract as the other paths
                 semi_extracted = ext_raw.join(attrs, ["url_hash", "url"])
             else:
-                # shuffle hash join + salted repartition: html shuffles
+                # shuffle hash join + per-row re-hash: html shuffles
                 # once, but no driver-side hash-table build; extraction
-                # runs on the salted layout (hot hosts spread over all
-                # workers)
+                # runs hash-partitioned on the 64-bit url_hash itself,
+                # so rows land uniformly no matter how skewed the host
+                # mix is. (The earlier (host_bucket, url_hash % par)
+                # salt gave a hot host only `par` salt values hashed
+                # into `par` partitions — balls-in-bins collisions left
+                # the max partition 2-3x the mean; pinned adversarially
+                # in tests/test_skew.py round-level layout test.)
                 par = self.spark.sparkContext.defaultParallelism
                 with_html = (
                     successes.join(page_html, join_cond)
                     .drop("p2h", "p2u")
-                    .repartition(
-                        par,
-                        F.col("host_bucket"),
-                        F.pmod(F.col("url_hash"), F.lit(par)),
-                    )
+                    .repartition(par, F.col("url_hash"))
                 )
         timeouts = fetched.filter(F.col("outcome") == "timeout").drop("outcome")
         empties = fetched.filter(F.col("outcome") == "empty").drop("outcome")
