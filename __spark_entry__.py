@@ -100,8 +100,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round (see COVERAGE.md per-entry round ledger).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # NEW in round 5 (H.264 Annex-B NAL index, VERDICT next-round #4)
+    # NEW in round 5 (H.264/HEVC Annex-B NAL indexes, VERDICT #4)
     "h264_nal_index",
+    "hevc_nal_index",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)
@@ -160,10 +161,10 @@ _CHECK_FIRST = [
     "registrable_domain",
     "weekly_periods",
     "parse_price",
-    "price_regex_parse",
     # ---- window boundary (~50): every entry below holds a green driver
     # row from r3/r4 with operator code unchanged since (COVERAGE.md
     # per-entry ledger) ----
+    "price_regex_parse",
     "format_currency",
     "collect_periods",
     "date_format_api",

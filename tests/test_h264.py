@@ -157,3 +157,115 @@ def test_stage_matches_formulas_no_shuffle(spark):
         assert got == want, d
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HEVC (shares the Annex-B framing; 2-byte NAL header, temporal layers)
+# ---------------------------------------------------------------------------
+
+
+def _hevc_expected(doc_id: int, n: int):
+    from web_scraper_spark.operators.h264 import synth_hevc_filler_len
+
+    rows = [
+        (0, 0, 4, 12, 32, 0, 0, 0, 0, None),
+        (1, 12, 3, 10, 33, 0, 0, 0, 0, None),
+        (2, 22, 3, 9, 34, 0, 0, 0, 0, None),
+    ]
+    off = 31
+    for i in range(n):
+        idr = i % 4 == 0
+        tot = (4 if idr else 3) + 3 + synth_hevc_filler_len(doc_id, i) + 5 * (i % 2)
+        rows.append(
+            (
+                3 + i,
+                off,
+                4 if idr else 3,
+                tot,
+                19 if idr else 1,
+                0,
+                0 if idr else i % 3,
+                1 if idr else 0,
+                1 if idr else 0,
+                1,
+            )
+        )
+        off += tot
+    return rows, off
+
+
+def test_hevc_parse_parity_sweep():
+    from web_scraper_spark.operators.h264 import parse_annexb_hevc, synth_hevc
+
+    for doc_id in range(32):
+        n = 4 + doc_id % 8
+        data = synth_hevc(doc_id, n)
+        want, total = _hevc_expected(doc_id, n)
+        assert total == len(data)
+        got = [
+            (
+                k,
+                r["offset"],
+                r["start_code_len"],
+                r["nal_len"],
+                r["nal_type"],
+                r["nuh_layer_id"],
+                r["temporal_id"],
+                r["is_irap"],
+                r["is_idr"],
+                r["first_slice"],
+            )
+            for k, r in enumerate(parse_annexb_hevc(data))
+        ]
+        assert got == want, doc_id
+
+
+def test_hevc_refusals_and_header_rules():
+    from web_scraper_spark.operators.h264 import parse_annexb_hevc, synth_hevc
+
+    assert parse_annexb_hevc(b"") is None
+    assert parse_annexb_hevc(b"\x42" * 32) is None
+    data = synth_hevc(2, 4)
+    # temporal_id_plus1 == 0 is forbidden (§7.4.2.2): that NAL skipped
+    bad = bytearray(data)
+    bad[5] &= 0xF8  # VPS header byte1 -> tid_plus1 = 0
+    assert [r["nal_type"] for r in parse_annexb_hevc(bytes(bad))][0] == 33
+    # forbidden bit -> skipped
+    bad = bytearray(data)
+    bad[4] |= 0x80
+    assert [r["nal_type"] for r in parse_annexb_hevc(bytes(bad))][0] == 33
+    # 1-byte truncated header at EOF -> that NAL dropped cleanly
+    cut = data[:12] + b"\x00\x00\x01\x42"
+    nals = parse_annexb_hevc(cut)
+    assert [r["nal_type"] for r in nals] == [32]
+
+
+def test_hevc_stage_matches_formulas_no_shuffle(spark):
+    from web_scraper_spark.operators.h264 import hevc_nal_index, with_synth_hevc
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = hevc_nal_index(with_synth_hevc(docs))
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 24
+    for d in range(24):
+        want, _ = _hevc_expected(d, 4 + d % 8)
+        got = [
+            (
+                r.nal_idx,
+                r.offset,
+                r.start_code_len,
+                r.nal_len,
+                r.nal_type,
+                r.nuh_layer_id,
+                r.temporal_id,
+                r.is_irap,
+                r.is_idr,
+                r.first_slice,
+            )
+            for r in sorted(by_doc[d], key=lambda r: r.nal_idx)
+        ]
+        assert got == want, d
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

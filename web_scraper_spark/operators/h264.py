@@ -57,6 +57,10 @@ __all__ = [
     "synth_h264",
     "h264_nal_index",
     "with_synth_h264",
+    "parse_annexb_hevc",
+    "synth_hevc",
+    "hevc_nal_index",
+    "with_synth_hevc",
 ]
 
 # nal_unit_type values (§7.4.1, Table 7-1)
@@ -153,6 +157,36 @@ class _Bits:
 # ---------------------------------------------------------------------------
 
 
+def _annexb_extents(data: bytes):
+    """Start-code scan shared by the H.264 and HEVC walks -> list of
+    (extent_start, payload_start_code_end, extent_end), or None when
+    no start code exists. Emulation prevention guarantees no 0x000001
+    falls inside a NAL payload; leading zeros (4-byte prefixes,
+    leading_zero_8bits) fold into each NAL's extent so consecutive
+    extents tile the byte range."""
+    n = len(data)
+    marks = []
+    pos = 0
+    while True:
+        hit = data.find(b"\x00\x00\x01", pos)
+        if hit < 0:
+            break
+        marks.append(hit)
+        pos = hit + 3
+    if not marks:
+        return None
+    starts = []
+    for hit in marks:
+        first = hit
+        while first > 0 and data[first - 1] == 0:
+            first -= 1
+        starts.append((first, hit))
+    return [
+        (first, hit + 3, starts[k + 1][0] if k + 1 < len(starts) else n)
+        for k, (first, hit) in enumerate(starts)
+    ]
+
+
 def parse_annexb(data: bytes):
     """-> list of NAL dicts, or None when no start code exists.
 
@@ -167,31 +201,11 @@ def parse_annexb(data: bytes):
     skipped (their bytes still belong to the preceding extent walk);
     a stream with no start code at all returns None.
     """
-    n = len(data)
-    # all 3-byte start-code positions; emulation prevention guarantees
-    # none of these fall inside a NAL payload
-    marks = []
-    pos = 0
-    while True:
-        hit = data.find(b"\x00\x00\x01", pos)
-        if hit < 0:
-            break
-        marks.append(hit)
-        pos = hit + 3
-    if not marks:
+    extents = _annexb_extents(data)
+    if extents is None:
         return None
-    # fold leading zeros (4-byte prefixes, leading_zero_8bits) into
-    # each NAL's extent so consecutive extents tile the byte range
-    starts = []
-    for hit in marks:
-        first = hit
-        while first > 0 and data[first - 1] == 0:
-            first -= 1
-        starts.append((first, hit))
     out = []
-    for k, (first, hit) in enumerate(starts):
-        end = starts[k + 1][0] if k + 1 < len(starts) else n
-        hdr_at = hit + 3
+    for first, hdr_at, end in extents:
         if hdr_at >= end:
             continue  # start code at EOF / back-to-back prefixes
         hdr = data[hdr_at]
@@ -331,5 +345,168 @@ def with_synth_h264(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     @pandas_udf(BinaryType())
     def _synth(ids: pd.Series) -> pd.Series:
         return pd.Series([synth_h264(int(i), 4 + int(i) % 8) for i in ids])
+
+    return df.withColumn("data", _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# HEVC / H.265 (ISO/IEC 23008-2): same Annex-B byte-stream framing and
+# the same emulation-prevention escape, but a 2-byte NAL header —
+# forbidden(1) | nal_unit_type(6) | nuh_layer_id(6) | temporal_id+1(3)
+# (§7.3.1.2). IRAP pictures are types 16-23 (IDR_W_RADL=19,
+# IDR_N_LP=20, CRA=21); slice_type needs PPS state so the index stops
+# at the PPS-free fields: the first_slice_segment_in_pic_flag (the
+# first RBSP bit, §7.3.6.1) plus the header-level routing fields.
+# ---------------------------------------------------------------------------
+
+HEVC_TRAIL_R = 1
+HEVC_IDR_W_RADL = 19
+HEVC_IDR_N_LP = 20
+HEVC_VPS = 32
+HEVC_SPS = 33
+HEVC_PPS = 34
+
+_HEVC_VCL_MAX = 31  # nal_unit_type 0..31 are coded-slice (VCL) NALs
+_HEVC_IRAP = frozenset(range(16, 24))
+
+
+def parse_annexb_hevc(data: bytes):
+    """-> list of HEVC NAL dicts, or None when no start code exists.
+
+    Dict keys: ``offset`` / ``start_code_len`` / ``nal_len`` exactly as
+    in :func:`parse_annexb`, plus ``nal_type``, ``nuh_layer_id``,
+    ``temporal_id``, ``is_irap``, ``is_idr``, and for VCL NALs
+    ``first_slice`` (the first_slice_segment_in_pic_flag bit; None for
+    non-VCL or truncated payloads). NALs with the forbidden bit set,
+    a truncated 2-byte header, or temporal_id_plus1 == 0 (forbidden by
+    §7.4.2.2) are skipped.
+    """
+    extents = _annexb_extents(data)
+    if extents is None:
+        return None
+    out = []
+    for first, hdr_at, end in extents:
+        if hdr_at + 2 > end:
+            continue  # start code at EOF / truncated 2-byte header
+        b0, b1 = data[hdr_at], data[hdr_at + 1]
+        if b0 & 0x80:
+            continue  # forbidden_zero_bit
+        tid_plus1 = b1 & 0x07
+        if tid_plus1 == 0:
+            continue  # forbidden value
+        nal_type = (b0 >> 1) & 0x3F
+        rec = {
+            "offset": first,
+            "start_code_len": hdr_at - first,
+            "nal_len": end - first,
+            "nal_type": nal_type,
+            "nuh_layer_id": ((b0 & 1) << 5) | (b1 >> 3),
+            "temporal_id": tid_plus1 - 1,
+            "is_irap": 1 if nal_type in _HEVC_IRAP else 0,
+            "is_idr": 1 if nal_type in (HEVC_IDR_W_RADL, HEVC_IDR_N_LP) else 0,
+            "first_slice": None,
+        }
+        if nal_type <= _HEVC_VCL_MAX and hdr_at + 2 < end:
+            rec["first_slice"] = (data[hdr_at + 2] >> 7) & 1
+        out.append(rec)
+    return out
+
+
+def synth_hevc_filler_len(doc_id: int, i: int) -> int:
+    return 18 + (doc_id * 5 + i * 11) % 26
+
+
+def synth_hevc(doc_id: int, n_slices: int) -> bytes:
+    """Annex-B HEVC stream: VPS (4-byte prefix, 6-byte payload) + SPS
+    (3-byte, 5) + PPS (3-byte, 4), then ``n_slices`` slice segments —
+    IDR_W_RADL every 4th (temporal_id 0, 4-byte prefix) else TRAIL_R
+    (temporal_id i%3, 3-byte prefix), first_slice flag always set.
+    Every ODD slice carries a raw 0x000001 in its RBSP (escaped on the
+    wire, +1 byte), mirroring the H.264 synth so the HEVC walk's
+    offset arithmetic also only matches with real escape handling."""
+    out = bytearray()
+    out += b"\x00\x00\x00\x01" + bytes([HEVC_VPS << 1, 0x01])
+    out += bytes(0x40 + (doc_id + j) % 0xBF for j in range(6))
+    out += b"\x00\x00\x01" + bytes([HEVC_SPS << 1, 0x01])
+    out += bytes(0x40 + (doc_id * 2 + j) % 0xBF for j in range(5))
+    out += b"\x00\x00\x01" + bytes([HEVC_PPS << 1, 0x01])
+    out += bytes(0x40 + (doc_id * 3 + j) % 0xBF for j in range(4))
+    for i in range(n_slices):
+        idr = i % 4 == 0
+        ntype = HEVC_IDR_W_RADL if idr else HEVC_TRAIL_R
+        tid = 0 if idr else i % 3
+        out += b"\x00\x00\x00\x01" if idr else b"\x00\x00\x01"
+        out += bytes([ntype << 1, tid + 1])
+        rbsp = bytearray([0xB0])  # first_slice_segment_in_pic_flag = 1
+        rbsp += bytes(
+            0x40 + (doc_id * 7 + i * 3 + j) % 0xBF
+            for j in range(synth_hevc_filler_len(doc_id, i))
+        )
+        if i % 2:
+            rbsp += b"\x00\x00\x01\x80"
+        out += escape_rbsp(bytes(rbsp))
+    return bytes(out)
+
+
+_HEVC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("nal_idx", IntegerType(), False),
+        StructField("offset", LongType(), False),
+        StructField("start_code_len", IntegerType(), False),
+        StructField("nal_len", IntegerType(), False),
+        StructField("nal_type", IntegerType(), False),
+        StructField("nuh_layer_id", IntegerType(), False),
+        StructField("temporal_id", IntegerType(), False),
+        StructField("is_irap", IntegerType(), False),
+        StructField("is_idr", IntegerType(), False),
+        StructField("first_slice", IntegerType(), True),
+    ]
+)
+
+
+def hevc_nal_index(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per HEVC NAL unit with its exact byte extent + routing
+    fields (IRAP/IDR, layer, temporal sub-layer). Arrow-batched
+    mapInPandas, bytes never shuffle; undecodable payloads emit
+    nothing. Temporal-ID rows make bitrate-laddering (drop tid>k) a
+    pure filter over this index — no codec involved."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, v in zip(b[id_col], b[data_col]):
+                nals = parse_annexb_hevc(bytes(v)) if v is not None else None
+                for k, nal in enumerate(nals or ()):
+                    rows.append(
+                        {
+                            "doc_id": int(d),
+                            "nal_idx": k,
+                            "offset": nal["offset"],
+                            "start_code_len": nal["start_code_len"],
+                            "nal_len": nal["nal_len"],
+                            "nal_type": nal["nal_type"],
+                            "nuh_layer_id": nal["nuh_layer_id"],
+                            "temporal_id": nal["temporal_id"],
+                            "is_irap": nal["is_irap"],
+                            "is_idr": nal["is_idr"],
+                            "first_slice": nal["first_slice"],
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in _HEVC_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=_HEVC_SCHEMA)
+
+
+def with_synth_hevc(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage: HEVC Annex-B stream with ``n_slices = 4 + id%8``."""
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_hevc(int(i), 4 + int(i) % 8) for i in ids])
 
     return df.withColumn("data", _synth(F.col(id_col)))

@@ -2490,6 +2490,67 @@ def q_h264_nal_index(spark, sf_dir):
 
 
 @q(
+    "hevc_nal_index",
+    # Same closed-form oracle pattern as h264_nal_index: VPS (12 bytes)
+    # + SPS (10) + PPS (9), then slices of prefix(4 if IRAP else 3) + 3
+    # + filler(18 + (id*5+i*11)%26) + 5 on odd slices (the escaped raw
+    # 0x000001). The 2-byte HEVC NAL header carries the temporal-id
+    # ladder (0 for IRAP, i%3 for TRAIL_R) the engine must decode.
+    """
+    WITH geo AS (
+      SELECT doc_id, 4 + doc_id % 8 AS n FROM documents WHERE doc_id < 64
+    ),
+    s AS (
+      SELECT g.doc_id, i.i,
+             CASE WHEN i.i % 4 = 0 THEN 4 ELSE 3 END
+               + 3 + (18 + (g.doc_id * 5 + i.i * 11) % 26)
+               + (i.i % 2) * 5 AS tot
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    ),
+    sl AS (
+      SELECT doc_id, i, tot,
+             31 + coalesce(sum(tot) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM s
+    )
+    SELECT doc_id, (3 + i)::INT AS nal_idx, off::BIGINT AS "offset",
+           (CASE WHEN i % 4 = 0 THEN 4 ELSE 3 END)::INT AS start_code_len,
+           tot::INT AS nal_len,
+           (CASE WHEN i % 4 = 0 THEN 19 ELSE 1 END)::INT AS nal_type,
+           0::INT AS nuh_layer_id,
+           (CASE WHEN i % 4 = 0 THEN 0 ELSE i % 3 END)::INT AS temporal_id,
+           (CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END)::INT AS is_irap,
+           (CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END)::INT AS is_idr,
+           1::INT AS first_slice
+    FROM sl
+    UNION ALL
+    SELECT doc_id, 0::INT, 0::BIGINT, 4::INT, 12::INT, 32::INT, 0::INT,
+           0::INT, 0::INT, 0::INT, NULL::INT FROM geo
+    UNION ALL
+    SELECT doc_id, 1::INT, 12::BIGINT, 3::INT, 10::INT, 33::INT, 0::INT,
+           0::INT, 0::INT, 0::INT, NULL::INT FROM geo
+    UNION ALL
+    SELECT doc_id, 2::INT, 22::BIGINT, 3::INT, 9::INT, 34::INT, 0::INT,
+           0::INT, 0::INT, 0::INT, NULL::INT FROM geo
+    """,
+)
+def q_hevc_nal_index(spark, sf_dir):
+    """REAL HEVC/H.265 Annex-B walk (operators/h264.py): shared
+    start-code machinery with the H.264 index, 2-byte NAL header
+    (ISO 23008-2 §7.3.1.2) with layer + temporal-sub-layer routing,
+    IRAP/IDR flags, and the PPS-free first_slice_segment_in_pic bit —
+    temporal-ladder filtering (drop tid>k) becomes a pure Column
+    filter over this index."""
+    from ..operators.h264 import hevc_nal_index, with_synth_hevc
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return hevc_nal_index(with_synth_hevc(docs))
+
+
+@q(
     "cuckoo_evict",
     # The oracle checks the filter's hard guarantees as derived counts
     # (hashing itself is engine-side): inserting the even doc_ids,
