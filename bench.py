@@ -111,6 +111,9 @@ HEADLINE = [
     "cuckoo_evict",
     "audio_wav_decode",
     "ogg_page_index",
+    # round-5 additions: elementary-stream NAL indexes
+    "h264_nal_index",
+    "hevc_nal_index",
 ]
 
 
