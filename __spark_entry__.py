@@ -103,6 +103,9 @@ _CHECK_FIRST = [
     # NEW in round 5 (H.264/HEVC Annex-B NAL indexes, VERDICT #4)
     "h264_nal_index",
     "hevc_nal_index",
+    "av1_obu_index",
+    "vp9_frame_index",
+    "adts_frame_index",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

@@ -114,6 +114,9 @@ HEADLINE = [
     # round-5 additions: elementary-stream NAL indexes
     "h264_nal_index",
     "hevc_nal_index",
+    "av1_obu_index",
+    "vp9_frame_index",
+    "adts_frame_index",
 ]
 
 

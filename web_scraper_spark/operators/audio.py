@@ -627,3 +627,176 @@ def with_synth_ogg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return pd.Series([synth_ogg(int(i), 3 + int(i) % 7) for i in ids])
 
     return df.withColumn("data", _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# ADTS AAC frame index — the dominant bare-audio-elementary-stream
+# format on the web (HLS segments, TS payloads, raw .aac responses).
+# Each frame carries a 7-byte header (9 with CRC) whose published
+# layout (ISO/IEC 14496-3 §1.A.2.2) fully determines the frame's byte
+# length — so walking sync words yields exact per-frame byte extents
+# + codec-setup routing fields (profile, sample rate, channels) with
+# zero codec work, completing the MP3/Ogg/WAV bare-audio family.
+# ---------------------------------------------------------------------------
+
+# sampling_frequency_index 0..12 (13-15 reserved)
+_ADTS_RATES = [
+    96000, 88200, 64000, 48000, 44100, 32000, 24000,
+    22050, 16000, 12000, 11025, 8000, 7350,
+]
+
+
+def adts_frames(data: bytes, max_resync: int = 2048):
+    """Walk ADTS headers -> [(frame_idx, offset, frame_len, profile,
+    sample_rate, channels, crc_present, n_blocks)] or None when no
+    valid frame is found. Tolerates an ID3v2 prefix (skipped by its
+    declared size) and bounded leading junk; a truncated final frame
+    is kept out of the index. frame_len is the header's
+    aac_frame_length field (header + optional CRC + raw blocks), so
+    extents tile the stream by construction."""
+    n = len(data)
+    pos = 0
+    if data[:3] == b"ID3" and n >= 10:
+        size = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    frames = []
+    scanned = 0
+    while pos + 7 <= n:
+        b0, b1 = data[pos], data[pos + 1]
+        # sync (12 bits) + layer must be 00
+        if not (b0 == 0xFF and (b1 & 0xF0) == 0xF0 and (b1 & 0x06) == 0):
+            if frames:
+                break  # stream ended; don't resync past decoded frames
+            pos += 1
+            scanned += 1
+            if scanned > max_resync:
+                return None
+            continue
+        b2, b3, b4, b5 = data[pos + 2], data[pos + 3], data[pos + 4], data[pos + 5]
+        sf_idx = (b2 >> 2) & 0x0F
+        if sf_idx >= len(_ADTS_RATES):
+            if frames:
+                break
+            pos += 1
+            continue
+        crc_present = 0 if (b1 & 0x01) else 1
+        hdr_len = 7 + 2 * crc_present
+        frame_len = ((b3 & 0x03) << 11) | (b4 << 3) | (b5 >> 5)
+        if frame_len < hdr_len:
+            if frames:
+                break
+            pos += 1
+            continue
+        if pos + frame_len > n:
+            break  # truncated final frame: keep complete prefix
+        frames.append(
+            (
+                len(frames),
+                pos,
+                frame_len,
+                (b2 >> 6) & 0x3,
+                _ADTS_RATES[sf_idx],
+                ((b2 & 0x01) << 2) | (b3 >> 6),
+                crc_present,
+                (data[pos + 6] & 0x03) + 1,
+            )
+        )
+        pos += frame_len
+    return frames or None
+
+
+_ADTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("offset", LongType(), False),
+        StructField("frame_len", IntegerType(), False),
+        StructField("profile", IntegerType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("crc_present", IntegerType(), False),
+        StructField("n_blocks", IntegerType(), False),
+    ]
+)
+
+
+def adts_frame_index(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per ADTS AAC frame with its exact byte extent and the
+    codec-setup fields (profile/rate/channels) a downstream decoder
+    needs. One Arrow pass on the scan layout; undecodable payloads
+    emit nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, v in zip(b[id_col], b[data_col]):
+                fr = adts_frames(bytes(v)) if v is not None else None
+                for idx, off, ln, prof, sr, ch, crc, nb in fr or ():
+                    rows.append((int(d), idx, off, ln, prof, sr, ch, crc, nb))
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in _ADTS_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=_ADTS_SCHEMA)
+
+
+def synth_adts_payload_len(doc_id: int, i: int) -> int:
+    return 30 + (doc_id * 7 + i * 13) % 40
+
+
+def synth_adts(doc_id: int, n_frames: int) -> bytes:
+    """A structurally valid ADTS stream whose per-frame header fields
+    are pure formulas: profile (doc_id+i)%4, rate index 3 + i%3
+    (48000/44100/32000), channels 1 + (doc_id+i)%2, CRC present on
+    every 5th frame (9-byte header), payload filler of
+    ``synth_adts_payload_len`` bytes; an ID3v2 tag of 10 + doc_id%7
+    bytes precedes frame 0, mirroring the MP3 synth."""
+    tag_junk = doc_id % 7
+    out = bytearray(b"ID3\x04\x00\x00")
+    out += bytes([0, 0, 0, tag_junk & 0x7F])
+    out += bytes((doc_id + k) % 251 for k in range(tag_junk))
+    for i in range(n_frames):
+        crc = 1 if i % 5 == 0 else 0
+        hdr_len = 7 + 2 * crc
+        profile = (doc_id + i) % 4
+        sf_idx = 3 + i % 3
+        channels = 1 + (doc_id + i) % 2
+        frame_len = hdr_len + synth_adts_payload_len(doc_id, i)
+        fullness = 0x7FF
+        out += bytes(
+            [
+                0xFF,
+                0xF0 | (0 if crc else 1),
+                (profile << 6) | (sf_idx << 2) | ((channels >> 2) & 1),
+                ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x3),
+                (frame_len >> 3) & 0xFF,
+                ((frame_len & 0x7) << 5) | ((fullness >> 6) & 0x1F),
+                ((fullness & 0x3F) << 2) | 0,  # one raw data block
+            ]
+        )
+        if crc:
+            out += bytes([(doc_id + i) % 256, (doc_id * 3 + i) % 256])
+        out += bytes(
+            (doc_id * 5 + i * 3 + k) % 256
+            for k in range(frame_len - hdr_len)
+        )
+    return bytes(out)
+
+
+def with_synth_adts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage: ADTS AAC with ``n_frames = 4 + id%6``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_adts(int(i), 4 + int(i) % 6) for i in ids])
+
+    return df.withColumn("data", _synth(F.col(id_col)))

@@ -2551,6 +2551,170 @@ def q_hevc_nal_index(spark, sf_dir):
 
 
 @q(
+    "av1_obu_index",
+    # Closed-form oracle for the AV1 low-overhead stream (no start
+    # codes — framing is the OBU header + leb128 size): temporal
+    # delimiter (2 bytes) + sequence header (8) + metadata (6), then
+    # frames whose wire length is 1 + ext(0 for KEY else 1)
+    # + leb128(1, or 2 when payload > 127 — every i%4==2 frame) +
+    # payload(1 + 40 + (id*3+i*7)%50 [+110 when i%4==2]). The 2-byte
+    # leb128 path and the extension-header temporal ids only match if
+    # the engine genuinely decodes both.
+    """
+    WITH geo AS (
+      SELECT doc_id, 4 + doc_id % 8 AS n FROM documents WHERE doc_id < 64
+    ),
+    f AS (
+      SELECT g.doc_id, i.i,
+             1 + 40 + (g.doc_id * 3 + i.i * 7) % 50
+               + CASE WHEN i.i % 4 = 2 THEN 110 ELSE 0 END AS payload,
+             CASE WHEN i.i % 4 = 0 THEN 0 ELSE 1 END AS ext
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    ),
+    w AS (
+      SELECT doc_id, i, payload, ext,
+             1 + ext + CASE WHEN payload > 127 THEN 2 ELSE 1 END AS hlen
+      FROM f
+    ),
+    sl AS (
+      SELECT doc_id, i, payload, ext, hlen,
+             16 + coalesce(sum(hlen + payload) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM w
+    )
+    SELECT doc_id, (3 + i)::INT AS obu_idx, off::BIGINT AS "offset",
+           (hlen + payload)::INT AS obu_len, hlen::INT AS header_len,
+           6::INT AS obu_type, ext::INT AS has_extension,
+           (CASE WHEN i % 4 = 0 THEN 0 ELSE i % 3 END)::INT AS temporal_id,
+           0::INT AS spatial_id, payload::INT AS obu_size,
+           0::INT AS show_existing,
+           (CASE WHEN i % 4 = 0 THEN 0 ELSE 1 END)::INT AS frame_type,
+           1::INT AS show_frame,
+           (CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END)::INT AS is_keyframe
+    FROM sl
+    UNION ALL
+    SELECT doc_id, 0::INT, 0::BIGINT, 2::INT, 2::INT, 2::INT, 0::INT,
+           0::INT, 0::INT, 0::INT, NULL::INT, NULL::INT, NULL::INT,
+           0::INT FROM geo
+    UNION ALL
+    SELECT doc_id, 1::INT, 2::BIGINT, 8::INT, 2::INT, 1::INT, 0::INT,
+           0::INT, 0::INT, 6::INT, NULL::INT, NULL::INT, NULL::INT,
+           0::INT FROM geo
+    UNION ALL
+    SELECT doc_id, 2::INT, 10::BIGINT, 6::INT, 2::INT, 5::INT, 0::INT,
+           0::INT, 0::INT, 4::INT, NULL::INT, NULL::INT, NULL::INT,
+           0::INT FROM geo
+    """,
+)
+def q_av1_obu_index(spark, sf_dir):
+    """REAL AV1 OBU walk (operators/av1.py): low-overhead bitstream
+    format of the public AOM AV1 spec §5.2 — OBU headers, leb128
+    sizes, extension-header temporal/spatial ids, and the first
+    uncompressed-header bits (frame_type/show_frame, honouring
+    reduced_still_picture_header) — per-OBU byte extents completing
+    the H.264/HEVC/AV1 elementary-stream index family."""
+    from ..operators.av1 import av1_obu_index, with_synth_av1
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return av1_obu_index(with_synth_av1(docs))
+
+
+@q(
+    "vp9_frame_index",
+    # Closed-form oracle for the VP9 superframe walk: n = 4 + id%5
+    # coded frames of 25 + (id*5+i*9)%60 bytes each, KEY every 4th,
+    # then the Annex-B trailing index (marker + little-endian sizes +
+    # marker, mag = 1 + id%2 bytes per size). Only the frame extents
+    # are emitted — the engine must locate and decode the index (incl.
+    # the 2-byte-size path on odd doc_ids) to reproduce the offsets.
+    """
+    WITH geo AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n FROM documents WHERE doc_id < 64
+    ),
+    f AS (
+      SELECT g.doc_id, i.i, 25 + (g.doc_id * 5 + i.i * 9) % 60 AS flen
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id, i::INT AS frame_idx,
+           coalesce(sum(flen) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0)::BIGINT AS "offset",
+           flen::INT AS frame_len,
+           0::INT AS profile, 0::INT AS show_existing,
+           (CASE WHEN i % 4 = 0 THEN 0 ELSE 1 END)::INT AS frame_type,
+           1::INT AS show_frame,
+           (CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END)::INT AS is_keyframe
+    FROM f
+    """,
+)
+def q_vp9_frame_index(spark, sf_dir):
+    """REAL VP9 superframe walk (operators/vp9.py): the Annex-B
+    trailing index splits a WebM/IVF block payload into its coded
+    frames (public VP9 spec), plus the first uncompressed-header bits
+    (frame_marker/profile/frame_type/show_frame) — per-frame byte
+    extents + keyframe flags for the third web codec, completing the
+    H.264/HEVC/AV1 elementary-stream index family."""
+    from ..operators.vp9 import vp9_frame_index, with_synth_vp9
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return vp9_frame_index(with_synth_vp9(docs))
+
+
+@q(
+    "adts_frame_index",
+    # Closed-form oracle replaying the synth's header formulas: ID3v2
+    # prefix of 10 + id%7 bytes, then n = 4 + id%6 frames of
+    # hdr(9 when i%5=0 else 7) + 30 + (id*7+i*13)%40 bytes with
+    # profile (id+i)%4, rate index 3+i%3, channels 1+(id+i)%2. The
+    # engine must walk every 56-bit ADTS header (incl. the 13-bit
+    # aac_frame_length and the CRC-present 9-byte variant) to match.
+    """
+    WITH geo AS (
+      SELECT doc_id, 4 + doc_id % 6 AS n, 10 + doc_id % 7 AS prefix
+      FROM documents WHERE doc_id < 64
+    ),
+    f AS (
+      SELECT g.doc_id, g.prefix, i.i,
+             CASE WHEN i.i % 5 = 0 THEN 1 ELSE 0 END AS crc,
+             7 + 2 * (CASE WHEN i.i % 5 = 0 THEN 1 ELSE 0 END)
+               + 30 + (g.doc_id * 7 + i.i * 13) % 40 AS flen
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id, i::INT AS frame_idx,
+           (prefix + coalesce(sum(flen) OVER (
+              PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS "offset",
+           flen::INT AS frame_len,
+           ((doc_id + i) % 4)::INT AS profile,
+           list_extract([48000, 44100, 32000], (i % 3 + 1)::INT)::INT
+             AS sample_rate,
+           (1 + (doc_id + i) % 2)::INT AS channels,
+           crc::INT AS crc_present, 1::INT AS n_blocks
+    FROM f
+    """,
+)
+def q_adts_frame_index(spark, sf_dir):
+    """REAL ADTS AAC frame walk (operators/audio.py): per-frame byte
+    extents + codec-setup fields (profile/rate/channels) from the
+    published 56-bit header (ISO 14496-3 §1.A.2.2) — the dominant
+    bare-audio elementary stream on the web (HLS/TS segments, raw
+    .aac), ID3v2-skipping and CRC-variant-aware, codec-free."""
+    from ..operators.audio import adts_frame_index, with_synth_adts
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return adts_frame_index(with_synth_adts(docs))
+
+
+@q(
     "cuckoo_evict",
     # The oracle checks the filter's hard guarantees as derived counts
     # (hashing itself is engine-side): inserting the even doc_ids,
