@@ -106,6 +106,7 @@ _CHECK_FIRST = [
     "av1_obu_index",
     "vp9_frame_index",
     "adts_frame_index",
+    "mpegts_packet_index",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

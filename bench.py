@@ -117,6 +117,7 @@ HEADLINE = [
     "av1_obu_index",
     "vp9_frame_index",
     "adts_frame_index",
+    "mpegts_packet_index",
 ]
 
 

@@ -2715,6 +2715,65 @@ def q_adts_frame_index(spark, sf_dir):
 
 
 @q(
+    "mpegts_packet_index",
+    # Closed-form oracle over the synth segment's 188-byte grid:
+    # n = 12 + id%8 packets, PID cycling PAT/video/audio (0/256/257),
+    # PUSI every 4th (payload opens with a PES start code: stream_id
+    # 0xE0 video / 0xC0 audio), an adaptation field on every 3rd
+    # (8-byte payload_off 12 when it carries the every-6th PCR of
+    # (id*90000 + i*3003) mod 2^33, else 6), per-PID continuity
+    # (i//3)%16. The engine must decode the real header/AF bit layout
+    # to reproduce every column.
+    """
+    WITH geo AS (
+      SELECT doc_id, 12 + doc_id % 8 AS n FROM documents WHERE doc_id < 64
+    ),
+    p AS (
+      SELECT g.doc_id, i.i,
+             list_extract([0, 256, 257], (i.i % 3 + 1)::INT) AS pid,
+             CASE WHEN i.i % 4 = 0 THEN 1 ELSE 0 END AS pusi,
+             CASE WHEN i.i % 3 = 0 THEN 1 ELSE 0 END AS has_af,
+             CASE WHEN i.i % 6 = 0 THEN 1 ELSE 0 END AS has_pcr
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    ),
+    w AS (
+      SELECT doc_id, i, pid, pusi,
+             CASE WHEN has_af = 1 THEN 3 ELSE 1 END AS afc,
+             (i // 3) % 16 AS cc,
+             pusi * has_af AS random_access,
+             CASE WHEN has_pcr = 1
+               THEN (doc_id * 90000 + i * 3003) % 8589934592 END AS pcr_base,
+             CASE WHEN has_af = 0 THEN 4
+                  WHEN has_pcr = 1 THEN 12 ELSE 6 END AS payload_off,
+             CASE WHEN pusi = 1 THEN
+               CASE WHEN i % 3 = 2 THEN 192 ELSE 224 END END AS pes_stream_id
+      FROM p
+    )
+    SELECT doc_id, i::INT AS pkt_idx, (i * 188)::BIGINT AS "offset",
+           pid::INT AS pid, pusi::INT AS pusi, afc::INT AS afc,
+           cc::INT AS cc, random_access::INT AS random_access,
+           pcr_base::BIGINT AS pcr_base,
+           payload_off::INT AS payload_off,
+           (188 - payload_off)::INT AS payload_len,
+           pes_stream_id::INT AS pes_stream_id
+    FROM w
+    """,
+)
+def q_mpegts_packet_index(spark, sf_dir):
+    """REAL MPEG-TS packet walk (operators/mpegts.py): 188-byte grid
+    with PID routing, PES-start detection, adaptation-field PCR and
+    random-access flags (ISO 13818-1, public) — the HLS-segment demux
+    layer that fans a segment corpus out to the H.264/HEVC NAL and
+    ADTS AAC elementary-stream indexes, codec-free."""
+    from ..operators.mpegts import mpegts_packet_index, with_synth_ts
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return mpegts_packet_index(with_synth_ts(docs))
+
+
+@q(
     "cuckoo_evict",
     # The oracle checks the filter's hard guarantees as derived counts
     # (hashing itself is engine-side): inserting the even doc_ids,
