@@ -552,12 +552,22 @@ def test_sniff_media_format_routes_all_eight(spark):
     )
     want = ["png", "gif", "bmp", "jpeg", "wav", "mp4", "mp3", "webm"]
     assert all(r.fmt == want[r.doc_id % 8] for r in got)
-    # unknown bytes stay unknown; bare Annex-B start codes route to h264
+    # unknown bytes stay unknown; bare elementary streams route to
+    # their walkers (Annex-B h264, TS grid, ADTS aac, AV1 low-overhead)
+    from web_scraper_spark.operators.audio import synth_adts
+    from web_scraper_spark.operators.av1 import synth_av1
+    from web_scraper_spark.operators.mpegts import synth_ts
+
     extra = spark.createDataFrame(
         [
             (1, b"\x00\x01\x02\x03junkjunk", "unknown"),
             (2, b"\x00\x00\x00\x01\x67abc", "h264"),
             (3, b"\x00\x00\x01\x41abc", "h264"),
+            (4, synth_ts(4, 3), "mpegts"),
+            (5, b"\x47" + b"junk" * 60, "unknown"),  # lone sync, no grid
+            (6, synth_adts(6, 3)[10 + 6 % 7 :], "aac"),  # raw, no ID3
+            (7, b"\xff\xfb" + b"x" * 40, "mp3"),  # MPEG audio stays mp3
+            (8, synth_av1(8, 4), "av1"),
         ],
         "doc_id long, data binary, want string",
     )

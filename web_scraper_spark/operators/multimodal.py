@@ -112,6 +112,28 @@ def sniff_media_format(data: Column) -> Column:
         # byte 0 (no container writes a leading 0x000001)
         .when(pre(4) == F.lit(b"\x00\x00\x00\x01"), F.lit("h264"))
         .when(pre(3) == F.lit(b"\x00\x00\x01"), F.lit("h264"))
+        # MPEG-TS: 0x47 sync repeating on the 188-byte grid (a lone
+        # 0x47 first byte is not enough — demand the second sync)
+        .when(
+            (pre(1) == F.lit(b"\x47"))
+            & (F.substring(data, 189, 1) == F.lit(b"\x47")),
+            F.lit("mpegts"),
+        )
+        # ADTS AAC: 12-bit sync + layer 00 -> second byte in
+        # {F0,F1,F8,F9} (0xFFFA/0xFFFB are MPEG-audio, matched above)
+        .when(
+            (pre(1) == F.lit(b"\xff"))
+            & (
+                (F.substring(data, 2, 1) == F.lit(b"\xf0"))
+                | (F.substring(data, 2, 1) == F.lit(b"\xf1"))
+                | (F.substring(data, 2, 1) == F.lit(b"\xf8"))
+                | (F.substring(data, 2, 1) == F.lit(b"\xf9"))
+            ),
+            F.lit("aac"),
+        )
+        # AV1 low-overhead stream: temporal-delimiter OBU (type 2,
+        # has_size, size 0) is the mandated first OBU of a temporal unit
+        .when(pre(2) == F.lit(b"\x12\x00"), F.lit("av1"))
         .otherwise(F.lit("unknown"))
     )
 
