@@ -107,6 +107,10 @@ _CHECK_FIRST = [
     "vp9_frame_index",
     "adts_frame_index",
     "mpegts_packet_index",
+    "flac_block_index",
+    "flac_frame_index",
+    "exif_index",
+    "webvtt_cue_index",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

@@ -556,6 +556,7 @@ def test_sniff_media_format_routes_all_eight(spark):
     # their walkers (Annex-B h264, TS grid, ADTS aac, AV1 low-overhead)
     from web_scraper_spark.operators.audio import synth_adts
     from web_scraper_spark.operators.av1 import synth_av1
+    from web_scraper_spark.operators.flac import synth_flac
     from web_scraper_spark.operators.mpegts import synth_ts
 
     extra = spark.createDataFrame(
@@ -568,6 +569,7 @@ def test_sniff_media_format_routes_all_eight(spark):
             (6, synth_adts(6, 3)[10 + 6 % 7 :], "aac"),  # raw, no ID3
             (7, b"\xff\xfb" + b"x" * 40, "mp3"),  # MPEG audio stays mp3
             (8, synth_av1(8, 4), "av1"),
+            (9, synth_flac(9, 3), "flac"),
         ],
         "doc_id long, data binary, want string",
     )

@@ -3083,3 +3083,176 @@ def q_gif_frame_index(spark, sf_dir):
         "doc_id"
     )
     return gif_frame_index(with_synth_gif(docs))
+
+
+@q(
+    "flac_block_index",
+    # Closed-form oracle for the FLAC metadata-block walk: every doc
+    # has a 34-byte STREAMINFO at body offset 8 (rate 8000*(1+id%3),
+    # channels 1+id%2, 16-bit, 1000+(id*37)%5000 total samples) and an
+    # is-last PADDING block of 8 + id%16 bytes at body offset 46. The
+    # engine must parse the real 4-byte block headers and the
+    # STREAMINFO 20/3/5/36-bit packed fields to reproduce every column.
+    """
+    SELECT doc_id, 0::INT AS block_idx, 0::INT AS block_type,
+           0::INT AS is_last, 8::BIGINT AS "offset", 34::INT AS block_len,
+           (8000 * (1 + doc_id % 3))::INT AS sample_rate,
+           (1 + doc_id % 2)::INT AS channels, 16::INT AS bits,
+           (1000 + (doc_id * 37) % 5000)::BIGINT AS total_samples
+    FROM documents WHERE doc_id < 64
+    UNION ALL
+    SELECT doc_id, 1::INT, 1::INT, 1::INT, 46::BIGINT,
+           (8 + doc_id % 16)::INT, NULL::INT, NULL::INT, NULL::INT,
+           NULL::BIGINT
+    FROM documents WHERE doc_id < 64
+    """,
+)
+def q_flac_block_index(spark, sf_dir):
+    """REAL FLAC metadata-block walk (operators/flac.py): per-block
+    byte extents + the STREAMINFO bit-packed audio parameters (RFC
+    9639 layout) — the metadata front-end of the bare-audio family
+    (MP3/ADTS/Ogg/WAV), codec-free."""
+    from ..operators.flac import flac_block_index, with_synth_flac
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return flac_block_index(with_synth_flac(docs))
+
+
+@q(
+    "flac_frame_index",
+    # Closed-form oracle for the CRC-verified FLAC frame walk:
+    # n = 3 + id%6 frames starting at 54 + id%16 (after fLaC magic +
+    # 38-byte STREAMINFO block + 4 + (8+id%16)-byte PADDING block),
+    # each 29 + (id*7+i*11)%50 bytes (7-byte header + payload + 2-byte
+    # CRC-16), blocksize 64 + (id*3+i*7)%128 (8-bit code-6 path), rate
+    # cycling 32000/44100/48000/96000, channels 1+(id+i)%2. FLAC frame
+    # headers carry NO length field: the engine must find boundaries
+    # by sync-scan + CRC-8 header + CRC-16 frame verification.
+    """
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 6 AS n, 54 + doc_id % 16 AS start
+      FROM documents WHERE doc_id < 64
+    ),
+    f AS (
+      SELECT g.doc_id, g.start, i.i,
+             29 + (g.doc_id * 7 + i.i * 11) % 50 AS flen
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id, i::INT AS frame_idx,
+           (start + coalesce(sum(flen) OVER (
+              PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS "offset",
+           flen::INT AS frame_len,
+           (64 + (doc_id * 3 + i * 7) % 128)::INT AS blocksize,
+           list_extract([32000, 44100, 48000, 96000], (i % 4 + 1)::INT)::INT
+             AS sample_rate,
+           (1 + (doc_id + i) % 2)::INT AS channels,
+           i::BIGINT AS frame_number
+    FROM f
+    """,
+)
+def q_flac_frame_index(spark, sf_dir):
+    """REAL FLAC frame boundary walk (operators/flac.py): per-frame
+    byte extents via sync-scan with CRC-8 header + CRC-16 frame
+    verification (frames carry no length field), plus the decoded
+    header fields — completing the elementary-stream index family for
+    lossless web audio, codec-free."""
+    from ..operators.flac import flac_frame_index, with_synth_flac
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return flac_frame_index(with_synth_flac(docs))
+
+
+@q(
+    "exif_index",
+    # Closed-form oracle for the EXIF TIFF IFD walk: 6 rows per doc
+    # (4 IFD0 + 2 EXIF sub-IFD; the 0x8769 pointer is followed, not
+    # emitted), byte order alternating II/MM by doc parity, with
+    # inline (Model, Orientation, SHORTs) and at-offset (Make, the
+    # RATIONALs) value storage both exercised. dtype is the TIFF type
+    # id (2 ASCII, 3 SHORT, 5 RATIONAL).
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64)
+    SELECT doc_id, 0::INT AS ifd, 271::INT AS tag, 2::INT AS dtype,
+           5::INT AS n, 'CAM' || (doc_id % 10)::VARCHAR AS value_s
+    FROM d
+    UNION ALL
+    SELECT doc_id, 0, 272, 2, 4,
+           'M' || lpad((doc_id % 100)::VARCHAR, 2, '0') FROM d
+    UNION ALL
+    SELECT doc_id, 0, 274, 3, 1, (1 + doc_id % 8)::VARCHAR FROM d
+    UNION ALL
+    SELECT doc_id, 0, 282, 5, 1,
+           (72 + doc_id % 4)::VARCHAR || '/1' FROM d
+    UNION ALL
+    SELECT doc_id, 1, 34855, 3, 1,
+           (100 * (1 + doc_id % 8))::VARCHAR FROM d
+    UNION ALL
+    SELECT doc_id, 1, 33434, 5, 1,
+           '1/' || (30 + doc_id % 200)::VARCHAR FROM d
+    """,
+)
+def q_exif_index(spark, sf_dir):
+    """REAL EXIF extraction (operators/exif.py): JPEG marker walk to
+    APP1, TIFF 6.0 IFD walk in both byte orders with inline/at-offset
+    value storage, EXIF sub-IFD behind the 0x8769 pointer — the
+    metadata an image pipeline reads before (or instead of) any pixel
+    decode, codec-free."""
+    from ..operators.exif import exif_index, with_synth_exif
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return exif_index(with_synth_exif(docs))
+
+
+@q(
+    "webvtt_cue_index",
+    # Closed-form oracle for the WebVTT cue walk: n = 3 + id%5 cues,
+    # start_ms = (id%5)*1800000 + i*2000 + (id%7)*111 (crossing the
+    # hour mark for id%5 >= 2, so both mm:ss.mmm and hh:mm:ss.mmm
+    # forms occur), dur = 900 + (id*13+i*29)%2000, id line on even
+    # cues, an align setting to ignore on odd cues, 1 + (id+i)%2
+    # payload lines, and a NOTE block to skip when id%3 = 0.
+    """
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n FROM documents WHERE doc_id < 64
+    ),
+    c AS (
+      SELECT g.doc_id, i.i,
+             (g.doc_id % 5) * 1800000 + i.i * 2000
+               + (g.doc_id % 7) * 111 AS start_ms,
+             900 + (g.doc_id * 13 + i.i * 29) % 2000 AS dur,
+             1 + (g.doc_id + i.i) % 2 AS nl
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id, i::INT AS cue_idx, start_ms::BIGINT AS start_ms,
+           (start_ms + dur)::BIGINT AS end_ms,
+           CASE WHEN i % 2 = 0
+                THEN 'c' || doc_id::VARCHAR || '-' || i::VARCHAR
+           END AS cue_id,
+           'line0 doc' || doc_id::VARCHAR || ' cue' || i::VARCHAR ||
+           CASE WHEN nl = 2
+                THEN chr(10) || 'line1 doc' || doc_id::VARCHAR
+                     || ' cue' || i::VARCHAR
+                ELSE '' END AS text,
+           nl::INT AS n_lines
+    FROM c
+    """,
+)
+def q_webvtt_cue_index(spark, sf_dir):
+    """REAL WebVTT cue parsing (operators/subtitles.py): timing lines
+    in both timestamp forms, cue ids, ignored settings, NOTE blocks —
+    the caption text modality a video-training pipeline aligns with
+    the elementary-stream frame indexes."""
+    from ..operators.subtitles import webvtt_cue_index, with_synth_webvtt
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return webvtt_cue_index(with_synth_webvtt(docs))
