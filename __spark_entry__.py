@@ -111,6 +111,9 @@ _CHECK_FIRST = [
     "flac_frame_index",
     "exif_index",
     "webvtt_cue_index",
+    "webp_chunk_index",
+    "srt_cue_index",
+    "id3_tag_index",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

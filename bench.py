@@ -118,6 +118,14 @@ HEADLINE = [
     "vp9_frame_index",
     "adts_frame_index",
     "mpegts_packet_index",
+    # round-5 additions (second batch): FLAC/EXIF/WebVTT
+    "flac_frame_index",
+    "exif_index",
+    "webvtt_cue_index",
+    # round-5 additions (third batch): WebP/SRT/ID3
+    "webp_chunk_index",
+    "srt_cue_index",
+    "id3_tag_index",
 ]
 
 

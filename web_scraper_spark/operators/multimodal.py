@@ -103,6 +103,11 @@ def sniff_media_format(data: Column) -> Column:
             & (F.substring(data, 9, 4) == F.lit(b"WAVE")),
             F.lit("wav"),
         )
+        .when(
+            (pre(4) == F.lit(b"RIFF"))
+            & (F.substring(data, 9, 4) == F.lit(b"WEBP")),
+            F.lit("webp"),
+        )
         .when(F.substring(data, 5, 4) == F.lit(b"ftyp"), F.lit("mp4"))
         .when(pre(4) == F.lit(b"OggS"), F.lit("ogg"))
         .when(pre(4) == F.lit(b"fLaC"), F.lit("flac"))

@@ -3256,3 +3256,151 @@ def q_webvtt_cue_index(spark, sf_dir):
         "doc_id"
     )
     return webvtt_cue_index(with_synth_webvtt(docs))
+
+
+@q(
+    "webp_chunk_index",
+    # Closed-form oracle for the WebP RIFF chunk walk, cycling the
+    # three bitstream forms by id%3: lossy VP8 (body 10+id%21), lossless
+    # VP8L (body 5+id%21, alpha id%2), and extended VP8X + EXIF + VP8
+    # (EXIF body 8+id%9 with RIFF even-padding shifting the next chunk).
+    # Dimensions are 16+(id*5)%240 x 16+(id*7)%240 everywhere; the
+    # engine must parse the real le32 sizes, the VP8 start code's
+    # 14-bit dims, the VP8L packed le32, and the VP8X le24 canvas.
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    g AS (
+      SELECT doc_id, (16 + (doc_id * 5) % 240)::INT AS w,
+             (16 + (doc_id * 7) % 240)::INT AS h,
+             (doc_id % 9)::INT AS e9
+      FROM d
+    )
+    SELECT doc_id, 0::INT AS chunk_idx, 'VP8 ' AS fourcc,
+           20::BIGINT AS "offset", (10 + doc_id % 21)::INT AS chunk_len,
+           w AS width, h AS height, 0::INT AS has_alpha, 0::INT AS lossless
+    FROM g WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 0, 'VP8L', 20, (5 + doc_id % 21)::INT, w, h,
+           (doc_id % 2)::INT, 1
+    FROM g WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 0, 'VP8X', 20, 10, w, h, (doc_id % 2)::INT, 0
+    FROM g WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id, 1, 'EXIF', 38, (8 + e9)::INT,
+           NULL::INT, NULL::INT, NULL::INT, NULL::INT
+    FROM g WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id, 2, 'VP8 ', (54 + e9 + e9 % 2)::BIGINT,
+           (10 + (doc_id * 11) % 40)::INT, w, h, 0, 0
+    FROM g WHERE doc_id % 3 = 2
+    """,
+)
+def q_webp_chunk_index(spark, sf_dir):
+    """REAL WebP container walk (operators/webp.py): RIFF chunk
+    grammar with even-padding, VP8/VP8L/VP8X header decode — the
+    remaining major web image format next to PNG/GIF/JPEG, indexed
+    codec-free before any pixel decoder runs."""
+    from ..operators.webp import webp_chunk_index, with_synth_webp
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return webp_chunk_index(with_synth_webp(docs))
+
+
+@q(
+    "srt_cue_index",
+    # Closed-form oracle for the SRT cue walk: n = 3 + id%5 cues,
+    # seq = i+1, start_ms = (id%4)*900000 + i*3000 + (id%9)*77,
+    # dur = 800 + (id*17+i*23)%2500, 1 + (id+i)%2 payload lines, and
+    # an extra blank line between blocks when id%4 = 3 (tolerated).
+    """
+    WITH geo AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n FROM documents WHERE doc_id < 64
+    ),
+    c AS (
+      SELECT g.doc_id, i.i,
+             (g.doc_id % 4) * 900000 + i.i * 3000
+               + (g.doc_id % 9) * 77 AS start_ms,
+             800 + (g.doc_id * 17 + i.i * 23) % 2500 AS dur,
+             1 + (g.doc_id + i.i) % 2 AS nl
+      FROM geo g, unnest(generate_series(0, g.n - 1)) AS i(i)
+    )
+    SELECT doc_id, i::INT AS cue_idx, (i + 1)::INT AS seq,
+           start_ms::BIGINT AS start_ms, (start_ms + dur)::BIGINT AS end_ms,
+           'sline0 doc' || doc_id::VARCHAR || ' cue' || i::VARCHAR ||
+           CASE WHEN nl = 2
+                THEN chr(10) || 'sline1 doc' || doc_id::VARCHAR
+                     || ' cue' || i::VARCHAR
+                ELSE '' END AS text,
+           nl::INT AS n_lines
+    FROM c
+    """,
+)
+def q_srt_cue_index(spark, sf_dir):
+    """REAL SRT (SubRip) cue parsing (operators/subtitles.py): numeric
+    sequence lines, comma-decimal timing lines, blank-line block
+    grammar — the other subtitle format a crawl encounters, next to
+    WebVTT."""
+    from ..operators.subtitles import srt_cue_index, with_synth_srt
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return srt_cue_index(with_synth_srt(docs))
+
+
+@q(
+    "id3_tag_index",
+    # Closed-form oracle for the ID3v2 frame walk: major = 3 + id%2
+    # (v2.3 plain-BE frame sizes vs v2.4 syncsafe), four text frames
+    # whose payload lengths depend on the digit counts of the formula
+    # values — TIT2 latin-1, TPE1 utf-16-with-BOM on v2.3 (3 + 2*chars
+    # bytes) / utf-8 on v2.4 (1 + chars), TALB/TRCK latin-1 — with
+    # offsets accumulating 10-byte frame headers, then zero padding.
+    """
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 2 AS major,
+             'Title ' || (doc_id % 100)::VARCHAR AS tit,
+             'Artist ' || (doc_id % 50)::VARCHAR AS art,
+             'Album ' || (doc_id % 20)::VARCHAR AS alb,
+             (1 + doc_id % 12)::VARCHAR AS trk
+      FROM documents WHERE doc_id < 64
+    ),
+    p AS (
+      SELECT *,
+             1 + length(tit) AS p0,
+             CASE WHEN major = 3 THEN 3 + 2 * length(art)
+                  ELSE 1 + length(art) END AS p1,
+             1 + length(alb) AS p2
+      FROM d
+    )
+    SELECT doc_id, 0::INT AS frame_idx, 'TIT2' AS frame_id,
+           10::BIGINT AS "offset", p0::INT AS frame_len,
+           0::INT AS encoding, tit AS value_s
+    FROM p
+    UNION ALL
+    SELECT doc_id, 1, 'TPE1', (20 + p0)::BIGINT, p1::INT,
+           CASE WHEN major = 3 THEN 1 ELSE 3 END::INT, art
+    FROM p
+    UNION ALL
+    SELECT doc_id, 2, 'TALB', (30 + p0 + p1)::BIGINT, p2::INT, 0, alb
+    FROM p
+    UNION ALL
+    SELECT doc_id, 3, 'TRCK', (40 + p0 + p1 + p2)::BIGINT,
+           (1 + length(trk))::INT, 0, trk
+    FROM p
+    """,
+)
+def q_id3_tag_index(spark, sf_dir):
+    """REAL ID3v2.3/2.4 tag walk (operators/id3.py): syncsafe sizes,
+    both frame-size encodings, latin-1/utf-16/utf-8 text decode,
+    padding termination — the audio-metadata envelope read without
+    touching the MPEG stream behind it."""
+    from ..operators.id3 import id3_tag_index, with_synth_id3
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return id3_tag_index(with_synth_id3(docs))
