@@ -584,3 +584,113 @@ def q_budget_allocation(spark, sf_dir):
         )
     ).agg(F.count("*").cast("double").alias("priority"))
     return allocate_budget(wdf, 10_000)
+
+
+@q(
+    "feed_parse",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey % 16 AS h, o_orderdate::DATE AS d
+      FROM orders WHERE o_orderkey < 2400
+    ),
+    e AS (
+      SELECT k, h, d,
+             CASE WHEN h % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+             row_number() OVER (PARTITION BY h ORDER BY k) - 1 AS entry_idx,
+             lpad((k % 60)::VARCHAR, 2, '0') AS ss
+      FROM o
+    )
+    SELECT 'https://feed' || h || '.example.com/' ||
+             CASE WHEN h % 2 = 0 THEN 'rss.xml' ELSE 'atom.xml' END AS feed_url,
+           kind,
+           entry_idx::INT AS entry_idx,
+           'Order ' || k AS title,
+           'https://feed' || h || '.example.com/post/' || k AS link,
+           'urn:order:' || k AS entry_id,
+           CASE WHEN h % 2 = 0
+                THEN strftime(d, '%a, %d %b %Y') || ' 09:15:' || ss || ' GMT'
+                ELSE strftime(d, '%Y-%m-%d') || 'T09:15:' || ss || 'Z'
+           END AS published,
+           strftime(d, '%Y-%m-%d') || ' 09:15:' || ss AS pub_iso
+    FROM e
+    """,
+)
+def q_feed_parse(spark, sf_dir):
+    """RSS/Atom feed ingestion round-trip (operators/feeds.py): render
+    per-host RSS 2.0 <item> feeds (even hosts) and Atom <entry> feeds
+    (odd hosts) from orders rows — RFC 822 pubDates with the weekday
+    prefix and a 'GMT' zone name, ISO-8601 Atom <updated>, padded
+    whitespace inside RSS <link> — then parse them back with the
+    native-regex feed parser. The oracle states the expected entries
+    directly from the source rows, so the parse must exactly invert the
+    rendering, including both date grammars landing on the same UTC
+    instant (pub_iso)."""
+    from ..operators.feeds import parse_feed_entries
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2400)
+    k = F.col("o_orderkey")
+    h = (F.col("o_custkey") % 16).cast("string")
+    is_rss = F.col("o_custkey") % 2 == 0
+    host = F.concat(F.lit("feed"), h, F.lit(".example.com"))
+    ss = F.lpad((k % 60).cast("string"), 2, "0")
+    d = F.col("o_orderdate").cast("date")
+    rss_item = F.concat(
+        F.lit("<item>\n  <title>Order "), k.cast("string"),
+        F.lit("</title>\n  <link> https://"), host,
+        F.lit("/post/"), k.cast("string"),
+        F.lit(' </link>\n  <guid isPermaLink="false">urn:order:'),
+        k.cast("string"),
+        F.lit("</guid>\n  <pubDate>"),
+        F.date_format(d, "EEE, dd MMM yyyy"),
+        F.lit(" 09:15:"), ss, F.lit(" GMT</pubDate>\n</item>\n"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry>\n  <title>Order "), k.cast("string"),
+        F.lit('</title>\n  <link rel="alternate" href="https://'), host,
+        F.lit("/post/"), k.cast("string"),
+        F.lit('"/>\n  <id>urn:order:'), k.cast("string"),
+        F.lit("</id>\n  <updated>"),
+        F.date_format(d, "yyyy-MM-dd"),
+        F.lit("T09:15:"), ss, F.lit("Z</updated>\n</entry>\n"),
+    )
+    rendered = o.select(
+        host.alias("host"),
+        is_rss.alias("is_rss"),
+        F.struct(
+            k.alias("k"), F.when(is_rss, rss_item).otherwise(atom_entry).alias("e")
+        ).alias("s"),
+    )
+    feeds = rendered.groupBy("host", "is_rss").agg(
+        F.concat(
+            F.when(
+                F.col("is_rss"),
+                F.lit("<rss><channel>\n<title>Host feed</title>\n"),
+            ).otherwise(
+                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">\n<title>Host feed</title>\n')
+            ),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("s")), lambda s: s["e"]), ""
+            ),
+            F.when(F.col("is_rss"), F.lit("</channel></rss>")).otherwise(
+                F.lit("</feed>")
+            ),
+        ).alias("body"),
+    ).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.when(F.col("is_rss"), F.lit("/rss.xml")).otherwise(F.lit("/atom.xml")),
+        ).alias("url"),
+        "body",
+    )
+    parsed = parse_feed_entries(feeds)
+    return parsed.select(
+        "feed_url",
+        "kind",
+        "entry_idx",
+        "title",
+        "link",
+        "entry_id",
+        "published",
+        F.date_format("published_ts", "yyyy-MM-dd HH:mm:ss").alias("pub_iso"),
+    )
