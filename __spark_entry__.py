@@ -115,6 +115,7 @@ _CHECK_FIRST = [
     "srt_cue_index",
     "id3_tag_index",
     "feed_parse",
+    "head_metadata",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

@@ -694,3 +694,138 @@ def q_feed_parse(spark, sf_dir):
         "published",
         F.date_format("published_ts", "yyyy-MM-dd HH:mm:ss").alias("pub_iso"),
     )
+
+
+@q(
+    "head_metadata",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey % 10 AS h
+      FROM orders WHERE o_orderkey < 2400
+    )
+    SELECT 'https://m' || h || '.example.com/p/' || k AS url,
+           'Page ' || k AS title,
+           CASE k % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'tr' ELSE NULL END AS lang,
+           CASE WHEN k % 2 = 0
+                THEN 'https://m' || h || '.example.com/canon/' || (k % 100)
+                ELSE NULL END AS canonical,
+           CASE WHEN k % 3 = 0 THEN 'Desc ' || k ELSE NULL END AS meta_description,
+           'OG ' || k AS og_title,
+           (k % 6 = 0 OR k % 6 = 3) AS robots_noindex,
+           (k % 6 = 3) AS robots_nofollow,
+           CASE WHEN k % 2 = 1
+                THEN 'en=https://m' || h || '.example.com/en/' || k
+                     || ';tr=https://m' || h || '.example.com/tr/' || k
+                ELSE '' END AS hreflang_s,
+           CASE WHEN k % 4 = 0
+                THEN 'https://m' || h || '.example.com/rss.xml'
+                ELSE '' END AS feeds_s
+    FROM o
+    """,
+)
+def q_head_metadata(spark, sf_dir):
+    """HTML head-metadata extraction round-trip (operators/headmeta.py):
+    render <head> sections from orders rows with adversarial variety —
+    attribute order flipped per row, single-quote and unquoted attribute
+    styles, uppercase tag/attr names, rel token lists, a stylesheet
+    <link> and charset <meta> as distractors, 'none' robots implying
+    both flags — then extract canonical/hreflang/OpenGraph/meta-robots/
+    feed-autodiscovery back. The oracle states the expected values
+    directly from the source rows."""
+    from ..operators.headmeta import parse_head_meta
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2400)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    h = (F.col("o_custkey") % 10).cast("string")
+    site = F.concat(F.lit("https://m"), h, F.lit(".example.com"))
+    canon_link = F.when(
+        k % 2 == 0,
+        F.when(
+            k % 4 == 0,
+            # quote-style variety: unquoted href on k%5==0 rows
+            F.when(
+                k % 5 == 0,
+                F.concat(
+                    F.lit('<link rel="canonical" href='), site,
+                    F.lit("/canon/"), (k % 100).cast("string"), F.lit(">\n"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<link rel="canonical" href="'), site,
+                    F.lit("/canon/"), (k % 100).cast("string"), F.lit('">\n'),
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<LINK HREF='"), site, F.lit("/canon/"),
+                (k % 100).cast("string"), F.lit("' REL='canonical'>\n"),
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    hreflang_links = F.when(
+        k % 2 == 1,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="TR" href="'), site,
+            F.lit("/tr/"), ks, F.lit('">\n'),
+            F.lit('<link hreflang="en" rel="alternate" href="'), site,
+            F.lit("/en/"), ks, F.lit('">\n'),
+        ),
+    ).otherwise(F.lit(""))
+    feed_link = F.when(
+        k % 4 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml" href="'),
+            site, F.lit('/rss.xml" title="Feed">\n'),
+        ),
+    ).otherwise(F.lit(""))
+    robots_meta = (
+        F.when(k % 6 == 0, F.lit('<meta name="robots" content="noindex, follow">\n'))
+        .when(k % 6 == 3, F.lit("<meta content='none' name='ROBOTS'>\n"))
+        .otherwise(F.lit(""))
+    )
+    desc_meta = F.when(
+        k % 3 == 0,
+        F.concat(F.lit('<meta name="description" content="Desc '), ks, F.lit('">\n')),
+    ).otherwise(F.lit(""))
+    og_meta = F.when(
+        k % 2 == 0,
+        F.concat(F.lit('<meta property="og:title" content="OG '), ks, F.lit('">\n')),
+    ).otherwise(
+        F.concat(F.lit('<META CONTENT="OG '), ks, F.lit('" PROPERTY="og:title">\n')),
+    )
+    html_open = (
+        F.when(k % 3 == 0, F.lit('<html lang="en">'))
+        .when(k % 3 == 1, F.lit("<HTML LANG='tr'>"))
+        .otherwise(F.lit("<html>"))
+    )
+    html = F.concat(
+        html_open,
+        F.lit('<head><meta charset="utf-8">\n<title>Page '), ks,
+        F.lit("</title>\n"),
+        F.lit('<link rel="stylesheet" href="/css/site.css">\n'),
+        canon_link, hreflang_links, feed_link, robots_meta, desc_meta, og_meta,
+        F.lit("</head><body><h1>Page "), ks,
+        F.lit('</h1><link rel="canonical" href="/body-decoy"></body></html>'),
+    )
+    pages = o.select(
+        F.concat(site, F.lit("/p/"), ks).alias("url"), html.alias("html")
+    )
+    m = parse_head_meta(pages)
+    return m.select(
+        "url",
+        "title",
+        "lang",
+        "canonical",
+        "meta_description",
+        "og_title",
+        "robots_noindex",
+        "robots_nofollow",
+        F.array_join(
+            F.transform(
+                F.col("hreflang"), lambda s: F.concat(s["lang"], F.lit("="), s["href"])
+            ),
+            ";",
+        ).alias("hreflang_s"),
+        F.array_join(F.col("feed_hrefs"), ";").alias("feeds_s"),
+    )
