@@ -116,6 +116,7 @@ _CHECK_FIRST = [
     "id3_tag_index",
     "feed_parse",
     "head_metadata",
+    "jsonld_extract",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

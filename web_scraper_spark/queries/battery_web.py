@@ -829,3 +829,96 @@ def q_head_metadata(spark, sf_dir):
         ).alias("hreflang_s"),
         F.array_join(F.col("feed_hrefs"), ";").alias("feeds_s"),
     )
+
+
+@q(
+    "jsonld_extract",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey % 10 AS h,
+             strftime(o_orderdate::DATE, '%Y-%m-%d') AS d
+      FROM orders WHERE o_orderkey < 2400
+    )
+    SELECT 'https://m' || h || '.example.com/p/' || k AS url,
+           0 AS block_idx, 'Article' AS jtype, NULL AS name,
+           'Story ' || k AS headline, d AS date_published,
+           CASE WHEN k % 3 = 2 THEN NULL ELSE 'Author ' || (k % 50) END AS author_name,
+           NULL AS price, NULL AS price_currency
+    FROM o
+    UNION ALL
+    SELECT 'https://m' || h || '.example.com/p/' || k,
+           1, 'Product', 'Item ' || k, NULL, NULL, NULL,
+           (k % 500) || '.99', 'EUR'
+    FROM o WHERE k % 2 = 0
+    UNION ALL
+    SELECT 'https://m' || h || '.example.com/p/' || k,
+           CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM o WHERE k % 7 = 0
+    """,
+)
+def q_jsonld_extract(spark, sf_dir):
+    """JSON-LD extraction round-trip (operators/jsonld.py): render pages
+    carrying a schema.org Article block (author alternates between
+    nested-object, bare-string, and absent forms), a Product block with
+    offers on even keys, a malformed trailing block on k%7 rows (must
+    keep its row with NULL fields), and a text/javascript decoy script
+    that must NOT be extracted. The oracle states the expected
+    projection per block directly from the source rows."""
+    from ..operators.jsonld import extract_jsonld
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2400)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    h = (F.col("o_custkey") % 10).cast("string")
+    d = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    author = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit(',"author":{"@type":"Person","name":"Author '),
+                (k % 50).cast("string"), F.lit('"}'),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(F.lit(',"author":"Author '), (k % 50).cast("string"), F.lit('"')),
+        )
+        .otherwise(F.lit(""))
+    )
+    article = F.concat(
+        F.lit('<script type="application/ld+json">\n'
+              '{"@context":"https://schema.org","@type":"Article","headline":"Story '),
+        ks, F.lit('","datePublished":"'), d, F.lit('"'), author,
+        F.lit("}\n</script>\n"),
+    )
+    product = F.when(
+        k % 2 == 0,
+        F.concat(
+            F.lit("<script charset=\"utf-8\" type='application/ld+json'>"
+                  '{"@type":"Product","name":"Item '),
+            ks,
+            F.lit('","offers":{"@type":"Offer","price":"'),
+            (k % 500).cast("string"),
+            F.lit('.99","priceCurrency":"EUR"}}</script>\n'),
+        ),
+    ).otherwise(F.lit(""))
+    broken = F.when(
+        k % 7 == 0,
+        F.lit('<script type="application/ld+json">{"broken": </script>\n'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>P</title>\n"
+              '<script type="text/javascript">var x = {"name":"decoy"};</script>\n'),
+        article, product, broken,
+        F.lit("</head><body>Page "), ks, F.lit("</body></html>"),
+    )
+    pages = o.select(
+        F.concat(F.lit("https://m"), h, F.lit(".example.com/p/"), ks).alias("url"),
+        html.alias("html"),
+    )
+    j = extract_jsonld(pages)
+    return j.select(
+        "url", "block_idx", "jtype", "name", "headline",
+        "date_published", "author_name", "price", "price_currency",
+    )
