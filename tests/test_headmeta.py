@@ -18,6 +18,8 @@ FULL = """<html lang="en-GB"><head>
 <base href="https://w.example.com/base/">
 <link rel="canonical" href="https://w.example.com/one">
 <link rel="canonical" href="https://w.example.com/two">
+<link rel="next" href="https://w.example.com/p?page=2">
+<link rel="previous" href="https://w.example.com/p?page=0">
 <link rel="stylesheet alternate" title="dark" href="/dark.css">
 <link rel="alternate" hreflang="TR" href="https://w.example.com/tr">
 <link rel="alternate" hreflang="en" href="https://w.example.com/en">
@@ -45,6 +47,9 @@ def test_full_head(spark):
     assert r["base_href"] == "https://w.example.com/base/"
     # first canonical wins; body decoy never reached
     assert r["canonical"] == "https://w.example.com/one"
+    assert r["next_href"] == "https://w.example.com/p?page=2"
+    # 'previous' accepted as rel=prev alias
+    assert r["prev_href"] == "https://w.example.com/p?page=0"
     assert r["meta_description"] == "A description"
     assert r["og_title"] == "OG title"
     assert r["og_image"] == "https://w.example.com/i.png"

@@ -67,6 +67,9 @@ def parse_head_meta(
     - ``base_href`` — ``<base href=...>``.
     - ``canonical`` — first ``<link rel="canonical">`` href (first wins,
       matching browser/search-engine behavior on conflicting hints).
+    - ``next_href``/``prev_href`` — pagination hints from
+      ``<link rel="next"/"prev">`` (``previous`` accepted as an alias);
+      the edges operators/pagination.py reconstructs chains from.
     - ``meta_description`` — ``<meta name="description">`` content.
     - ``og_title``/``og_type``/``og_url``/``og_image`` — OpenGraph
       ``<meta property="og:*">`` content (first of each).
@@ -108,6 +111,17 @@ def parse_head_meta(
     canonical = _first_nonnull(
         F.transform(
             links, lambda t: F.when(rel_has(t, "canonical"), _attr(t, "href"))
+        )
+    )
+    next_href = _first_nonnull(
+        F.transform(links, lambda t: F.when(rel_has(t, "next"), _attr(t, "href")))
+    )
+    prev_href = _first_nonnull(
+        F.transform(
+            links,
+            lambda t: F.when(
+                rel_has(t, "prev") | rel_has(t, "previous"), _attr(t, "href")
+            ),
         )
     )
     hreflang = F.array_sort(
@@ -157,6 +171,8 @@ def parse_head_meta(
         F.when(lang_ext != "", F.lower(lang_ext)).alias("lang"),
         F.when(base_ext != "", base_ext).alias("base_href"),
         canonical.alias("canonical"),
+        next_href.alias("next_href"),
+        prev_href.alias("prev_href"),
         meta_content("name", "description").alias("meta_description"),
         meta_content("property", "og:title").alias("og_title"),
         meta_content("property", "og:type").alias("og_type"),

@@ -922,3 +922,119 @@ def q_jsonld_extract(spark, sf_dir):
         "url", "block_idx", "jtype", "name", "headline",
         "date_published", "author_name", "price", "price_currency",
     )
+
+
+@q(
+    "pagination_chains",
+    """
+    WITH e AS (SELECT event_id AS id FROM events),
+         m AS (SELECT max(id) AS mx FROM e)
+    SELECT 'https://pg.example.com/list/' || id AS url,
+           'https://pg.example.com/list/' || (id - id % 5) AS chain_head,
+           CAST(id % 5 AS INT) AS position,
+           LEAST(5, mx - (id - id % 5) + 1)::BIGINT AS chain_len,
+           FALSE AS is_loop
+    FROM e, m
+    """,
+)
+def q_pagination_chains(spark, sf_dir):
+    """Pagination reconstruction end-to-end (operators/pagination.py):
+    render rel=next/rel=prev head links chaining events into blocks of
+    5, extract the hints with parse_head_meta, then rebuild each chain
+    by inverted pointer doubling. The oracle states head/position/length
+    in closed form from the block structure — it never walks a chain —
+    so a doubling or inversion bug breaks the hash. The trailing block
+    is allowed to be short (LEAST guard); a dangling next on the last
+    page must not mint a phantom chain member."""
+    from ..operators.headmeta import parse_head_meta
+    from ..operators.pagination import pagination_chains
+
+    ev = T(spark, sf_dir, "events")
+    e = F.col("event_id")
+    es = e.cast("string")
+    url = F.concat(F.lit("https://pg.example.com/list/"), es)
+    nxt = F.when(
+        e % 5 != 4,
+        F.concat(
+            F.lit('<link rel="next" href="https://pg.example.com/list/'),
+            (e + 1).cast("string"), F.lit('">\n'),
+        ),
+    ).otherwise(F.lit(""))
+    prv = F.when(
+        e % 5 != 0,
+        F.concat(
+            F.lit("<link href='https://pg.example.com/list/"),
+            (e - 1).cast("string"), F.lit("' rel='prev'>\n"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>L</title>\n"), nxt, prv,
+        F.lit("</head><body>list</body></html>"),
+    )
+    pages = ev.select(url.alias("url"), html.alias("html"))
+    meta = parse_head_meta(pages)
+    return pagination_chains(meta).select(
+        "url", "chain_head", "position", "chain_len", "is_loop"
+    )
+
+
+@q(
+    "hreflang_clusters",
+    """
+    WITH e AS (
+      SELECT event_id AS id, event_id - event_id % 4 AS base,
+             CASE event_id % 4 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                               WHEN 2 THEN 'fr' ELSE 'tr' END AS lang
+      FROM events
+      WHERE event_id - event_id % 4 + 3 <= (SELECT max(event_id) FROM events)
+    )
+    SELECT 'https://t' || (base % 7) || '.example.com/' || lang || '/g' || base AS url,
+           'https://t' || (base % 7) || '.example.com/de/g' || base AS cluster,
+           4::BIGINT AS cluster_size
+    FROM e
+    """,
+)
+def q_hreflang_clusters(spark, sf_dir):
+    """Translation-set clustering end-to-end (operators/translations.py):
+    events form 4-language groups (de/en/fr/tr); de/en/tr members
+    declare the full hreflang set but the fr member declares ONLY en —
+    the cluster must still close transitively to all 4. Extraction runs
+    through parse_head_meta; clustering through min-label connected
+    components. The oracle states cluster id (lexicographic min = the
+    de member) and size 4 in closed form from the group structure."""
+    from ..operators.headmeta import parse_head_meta
+    from ..operators.translations import hreflang_clusters
+
+    ev = T(spark, sf_dir, "events")
+    e = F.col("event_id")
+    # drop a truncated trailing group so size-4 closure holds at any N
+    mx = ev.agg(F.max("event_id").alias("mx"))
+    ev = ev.join(F.broadcast(mx)).filter(e - e % 4 + 3 <= F.col("mx"))
+    base = e - e % 4
+    lang = (
+        F.when(e % 4 == 0, F.lit("de"))
+        .when(e % 4 == 1, F.lit("en"))
+        .when(e % 4 == 2, F.lit("fr"))
+        .otherwise(F.lit("tr"))
+    )
+    site = F.concat(F.lit("https://t"), (base % 7).cast("string"), F.lit(".example.com"))
+    gs = base.cast("string")
+
+    def alt(lg):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'), F.lit(lg),
+            F.lit('" href="'), site, F.lit("/"), F.lit(lg),
+            F.lit("/g"), gs, F.lit('">\n'),
+        )
+
+    links = F.when(
+        e % 4 == 2, alt("en")  # sloppy fr member: declares only en
+    ).otherwise(F.concat(alt("de"), alt("en"), alt("fr"), alt("tr")))
+    html = F.concat(
+        F.lit("<html><head><title>T</title>\n"), links,
+        F.lit("</head><body>t</body></html>"),
+    )
+    url = F.concat(site, F.lit("/"), lang, F.lit("/g"), gs)
+    pages = ev.select(url.alias("url"), html.alias("html"))
+    meta = parse_head_meta(pages)
+    return hreflang_clusters(meta).select("url", "cluster", "cluster_size")
