@@ -119,6 +119,8 @@ _CHECK_FIRST = [
     "jsonld_extract",
     "pagination_chains",
     "hreflang_clusters",
+    "mirror_hosts",
+    "link_header_parse",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

@@ -90,3 +90,28 @@ def test_empty_and_garbage(spark):
     assert r["canonical"] is None and r["robots_noindex"] is False
     r2 = _one(spark, "plain text, no tags at all")
     assert r2["title"] is None and r2["og_title"] is None
+
+
+def test_link_header_entries(spark):
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.functions.http_headers import link_header_entries
+
+    rows = [
+        ('</p?page=2>; rel="next", <https://c.example.com/x>; rel=canonical',),
+        ('<https://a/b>; rel="next prefetch"; title="a, b", <https://no-rel>; type="text/html"',),
+        ("not a link header",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    out = [r["e"] for r in df.select(link_header_entries(F.col("h")).alias("e")).collect()]
+    assert [(s["href"], s["rel"]) for s in out[0]] == [
+        ("/p?page=2", "next"),
+        ("https://c.example.com/x", "canonical"),
+    ]
+    # rel token list explodes; quoted comma does not split; no-rel dropped
+    assert [(s["href"], s["rel"]) for s in out[1]] == [
+        ("https://a/b", "next"),
+        ("https://a/b", "prefetch"),
+    ]
+    assert out[2] == [] and out[3] is None

@@ -66,3 +66,40 @@ def next_fetch_after(
         .otherwise(F.lit(default_s))
     )
     return F.timestamp_add("SECOND", delay.cast("int"), fetch_ts)
+
+
+# --- RFC 8288 Link header -------------------------------------------------
+# Link: </p?page=2>; rel="next", <https://c.example.com/x>; rel=canonical
+# One link-value = <target> followed by ;-params; quoted param strings
+# are atomic so a comma inside title="a, b" does not split the value.
+_LINKVAL_RE = r'<[^>]*>(?:[^,"]|"[^"]*")*'
+_LINK_HREF_RE = r"^\s*<([^>]*)>"
+_LINK_REL_DQ_RE = r'(?i);\s*rel\s*=\s*"([^"]*)"'
+_LINK_REL_TOK_RE = r"(?i);\s*rel\s*=\s*([^;\s\",]+)"
+
+
+def link_header_entries(link_header: Column) -> Column:
+    """``array<struct<href,rel>>`` from a raw ``Link`` header value.
+
+    ``rel`` is a space-separated token list per the RFC; a link-value
+    with ``rel="next prefetch"`` contributes one struct per token
+    (lowercased). Link-values with no rel param are dropped — the RFC
+    makes rel mandatory and consumers key on it. Pure native Columns;
+    pairs with operators/headmeta.py so header- and HTML-declared
+    rel=next/canonical hints merge into one edge set (the header form
+    is how paginated APIs and WordPress sites declare them).
+    """
+    vals = F.regexp_extract_all(link_header, F.lit(_LINKVAL_RE), F.lit(0))
+
+    def entry(v: Column) -> Column:
+        href = F.regexp_extract(v, _LINK_HREF_RE, 1)
+        rel_dq = F.regexp_extract(v, _LINK_REL_DQ_RE, 1)
+        rel_tok = F.regexp_extract(v, _LINK_REL_TOK_RE, 1)
+        rel = F.when(rel_dq != "", rel_dq).when(rel_tok != "", rel_tok)
+        return F.transform(
+            F.split(F.trim(F.lower(rel)), r"\s+"),
+            lambda t: F.struct(href.alias("href"), t.alias("rel")),
+        )
+    return F.flatten(
+        F.filter(F.transform(vals, entry), lambda a: a.isNotNull())
+    )

@@ -1038,3 +1038,138 @@ def q_hreflang_clusters(spark, sf_dir):
     pages = ev.select(url.alias("url"), html.alias("html"))
     meta = parse_head_meta(pages)
     return hreflang_clusters(meta).select("url", "cluster", "cluster_size")
+
+
+_MIRROR_DOCS_SQL = """
+      SELECT CASE WHEN event_id % 12 < 6
+                  THEN 'solo' || (event_id % 12)
+                  ELSE 'm' || (event_id % 12) END AS host,
+             CASE WHEN (event_id - event_id % 12) // 12 % 50 = 0 THEN 'boiler'
+                  WHEN event_id % 12 < 6
+                  THEN 'u' || (event_id % 12) || '_' || ((event_id - event_id % 12) // 12)
+                  WHEN ((event_id - event_id % 12) // 12) % 4 = event_id % 2
+                  THEN 'priv_' || (event_id % 12) || '_' || ((event_id - event_id % 12) // 12)
+                  ELSE 'sh_' || (event_id % 12 - event_id % 2) || '_'
+                       || ((event_id - event_id % 12) // 12) END AS fp
+      FROM events
+"""
+
+
+@q(
+    "mirror_hosts",
+    f"""
+    WITH d AS (SELECT DISTINCT host, fp FROM ({_MIRROR_DOCS_SQL})),
+    nh AS (SELECT fp FROM d GROUP BY fp HAVING count(*) BETWEEN 2 AND 8),
+    d2 AS (SELECT * FROM d WHERE fp IN (SELECT fp FROM nh)),
+    pairs AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+      FROM d2 a JOIN d2 b ON a.fp = b.fp AND a.host < b.host
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT host, count(*) AS n FROM d GROUP BY host)
+    SELECT host_a, host_b, shared,
+           round(shared / LEAST(sa.n, sb.n), 4) AS overlap
+    FROM pairs
+    JOIN sizes sa ON pairs.host_a = sa.host
+    JOIN sizes sb ON pairs.host_b = sb.host
+    WHERE shared >= 5
+    """,
+)
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/mirrors.py, Bharat & Broder
+    WWW'99 class): events build 6 singleton hosts with unique
+    fingerprints, 3 mirror PAIRS sharing a fingerprint namespace with
+    per-side private quarters (so overlap < 1), and a 'boiler'
+    fingerprint on every host that the max_fp_hosts cap must drop (12
+    hosts > cap 8) — without the cap it would mint C(12,2)=66 spurious
+    pairs. Expected output: exactly the 3 mirror pairs. The oracle
+    recomputes pairs by an INDEPENDENT SQL self-join over the same
+    construction, so the bound, dedup, or denominator going wrong
+    breaks the hash."""
+    from ..operators.mirrors import mirror_hosts
+
+    ev = T(spark, sf_dir, "events")
+    e = F.col("event_id")
+    site = e % 12
+    page = ((e - e % 12) / 12).cast("long")
+    host = F.when(
+        site < 6, F.concat(F.lit("solo"), site.cast("string"))
+    ).otherwise(F.concat(F.lit("m"), site.cast("string")))
+    fp = (
+        F.when(page % 50 == 0, F.lit("boiler"))
+        .when(
+            site < 6,
+            F.concat(
+                F.lit("u"), site.cast("string"), F.lit("_"), page.cast("string")
+            ),
+        )
+        .when(
+            page % 4 == e % 2,
+            F.concat(
+                F.lit("priv_"), site.cast("string"), F.lit("_"), page.cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("sh_"), (site - e % 2).cast("string"), F.lit("_"),
+                page.cast("string"),
+            )
+        )
+    )
+    docs = ev.select(host.alias("host"), fp.alias("fingerprint"))
+    return mirror_hosts(docs, min_shared=5, max_fp_hosts=8).orderBy(
+        "host_a", "host_b"
+    )
+
+
+@q(
+    "link_header_parse",
+    """
+    SELECT event_id, '/list/' || (event_id + 1) AS href, 'next' AS rel
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, '/list/' || (event_id - 1), 'prev'
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, 'https://cdn' || (event_id % 5) || '.example.com/c/' || event_id,
+           'canonical'
+    FROM events WHERE event_id % 3 = 1
+    """,
+)
+def q_link_header_parse(spark, sf_dir):
+    """RFC 8288 Link-header parsing (functions/http_headers.py:
+    link_header_entries): k%3==0 responses carry next+prev link-values,
+    k%3==1 a canonical with a quoted 'a, b' title (the comma must not
+    split the value), k%3==2 a link-value with NO rel param that must
+    contribute nothing. Native regex + explode; the oracle states the
+    expected (href, rel) rows directly."""
+    from ..functions.http_headers import link_header_entries
+
+    ev = T(spark, sf_dir, "events")
+    e = F.col("event_id")
+    es = e.cast("string")
+    hdr = (
+        F.when(
+            e % 3 == 0,
+            F.concat(
+                F.lit('</list/'), (e + 1).cast("string"),
+                F.lit('>; rel="next", </list/'), (e - 1).cast("string"),
+                F.lit('>; rel="prev"'),
+            ),
+        )
+        .when(
+            e % 3 == 1,
+            F.concat(
+                F.lit("<https://cdn"), (e % 5).cast("string"),
+                F.lit(".example.com/c/"), es,
+                F.lit('>; rel=canonical; title="a, b"'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<https://x/"), es, F.lit('>; type="text/html"'))
+        )
+    )
+    rows = ev.select("event_id", link_header_entries(hdr).alias("links"))
+    return rows.select(
+        "event_id", F.explode("links").alias("l")
+    ).select("event_id", F.col("l.href").alias("href"), F.col("l.rel").alias("rel"))
