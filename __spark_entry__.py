@@ -121,6 +121,7 @@ _CHECK_FIRST = [
     "hreflang_clusters",
     "mirror_hosts",
     "link_header_parse",
+    "wet_roundtrip",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

@@ -126,6 +126,14 @@ HEADLINE = [
     "webp_chunk_index",
     "srt_cue_index",
     "id3_tag_index",
+    # round-5 additions (fourth batch): head-metadata family
+    "feed_parse",
+    "head_metadata",
+    "jsonld_extract",
+    "pagination_chains",
+    "hreflang_clusters",
+    "mirror_hosts",
+    "link_header_parse",
 ]
 
 

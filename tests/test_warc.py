@@ -193,3 +193,31 @@ def test_gzip_large_member_decodes_in_chunks(spark):
     rows = sorted(_records(spark, [blob]), key=lambda r: r.url)
     assert [r.url for r in rows] == ["https://big/1", "https://big/2"]
     assert bytes(rows[0].html) == body and rows[0].warc_errors == 0
+
+
+def test_wet_conversion_roundtrip(spark):
+    """WET conversion records (wet_record writer) parse back via the
+    same reader: no HTTP envelope, NULL status/content_type, payload
+    byte-identical including multi-byte text; mixes with response
+    records in one archive."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.sources.warc import parse_warc, render_warc, wet_record
+
+    text = "extracted café text — plain"
+    df = spark.createDataFrame(
+        [("https://w/x", "2025-01-01T00:00:00Z", text)], "u string, t string, x string"
+    )
+    wet = df.select(
+        F.encode(wet_record(F.col("u"), F.col("t"), F.col("x")), "UTF-8").alias("w")
+    ).collect()[0]["w"]
+    resp = render_warc("https://w/y", "2025-01-01T00:00:01Z", b"<html>y</html>")
+    blob = spark.createDataFrame([(bytes(wet) + resp,)], "content binary")
+    rows = {r["url"]: r for r in parse_warc(blob).collect()}
+    c = rows["https://w/x"]
+    assert c["warc_type"] == "conversion"
+    assert c["http_status"] is None and c["content_type"] is None
+    assert bytes(c["html"]).decode("utf-8") == text
+    assert c["n_body_bytes"] == len(text.encode("utf-8"))
+    r = rows["https://w/y"]
+    assert r["warc_type"] == "response" and r["http_status"] == 200

@@ -3404,3 +3404,71 @@ def q_id3_tag_index(spark, sf_dir):
         "doc_id"
     )
     return id3_tag_index(with_synth_id3(docs))
+
+
+@q(
+    "wet_roundtrip",
+    """
+    SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+           strftime(TIMESTAMP '2025-01-01 00:00:00'
+                    + (doc_id % 86400) * INTERVAL 1 SECOND,
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+           'conversion' AS warc_type,
+           NULL::INTEGER AS http_status,
+           NULL AS content_type,
+           octet_length(encode(text))::BIGINT AS n_body_bytes,
+           text AS body
+    FROM documents
+    """,
+)
+def q_wet_roundtrip(spark, sf_dir):
+    """WET extracted-text sidecar round-trip (sources/warc.py:
+    wet_record): render every document as a Common-Crawl-style
+    conversion record with native expressions, pack ~7 per archive
+    blob, parse back with the SAME length-driven reader as response
+    records. Conversion records carry no HTTP envelope, so status and
+    content_type must come back NULL and the payload byte-identical."""
+    from ..sources.warc import parse_warc, wet_record
+
+    docs = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    ts = F.date_format(
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2025-01-01 00:00:00"))
+            + (F.col("doc_id") % 86400)
+        ),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    record = wet_record(url, ts, F.col("text"))
+    blobs = (
+        docs.select(
+            (F.col("doc_id") % 7).alias("file_id"),
+            F.struct(F.col("doc_id").alias("k"), record.alias("r")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("s")), lambda s: s["r"]
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("content")
+        )
+    )
+    return parse_warc(blobs).select(
+        "url",
+        "warc_ts",
+        "warc_type",
+        "http_status",
+        "content_type",
+        "n_body_bytes",
+        F.decode(F.col("html"), "UTF-8").alias("body"),
+    )

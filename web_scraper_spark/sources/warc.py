@@ -64,7 +64,13 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-__all__ = ["read_warc", "parse_warc", "render_warc", "WARC_RECORD_SCHEMA"]
+__all__ = [
+    "read_warc",
+    "parse_warc",
+    "render_warc",
+    "wet_record",
+    "WARC_RECORD_SCHEMA",
+]
 
 _CRLF = b"\r\n"
 _HDR = b"WARC/1.0\r\n"
@@ -82,6 +88,30 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("warc_errors", IntegerType(), True),
     ]
 )
+
+
+def wet_record(url, date_iso, text):
+    """WET conversion record as a NATIVE Column expression (the
+    distributed writer for extracted-text sidecars, Common Crawl's
+    ``.warc.wet`` convention): ``WARC-Type: conversion`` headers, the
+    plain-text payload verbatim (no HTTP envelope), Content-Length =
+    ``octet_length`` of the text (multi-byte-safe). A whole corpus
+    renders inside codegen — text enters no Python — and packs into
+    archive blobs with a per-file ``collect_list``; ``parse_warc``
+    reads the result back like any other record type."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "),
+        date_iso,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"),
+        text,
+        F.lit("\r\n\r\n"),
+    )
 
 
 def render_warc(
