@@ -122,6 +122,8 @@ _CHECK_FIRST = [
     "mirror_hosts",
     "link_header_parse",
     "wet_roundtrip",
+    "pdf_object_index",
+    "pdf_page_index",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

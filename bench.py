@@ -134,6 +134,9 @@ HEADLINE = [
     "hreflang_clusters",
     "mirror_hosts",
     "link_header_parse",
+    # round-5 additions (fifth batch): PDF document indexes
+    "pdf_object_index",
+    "pdf_page_index",
 ]
 
 

@@ -51,6 +51,8 @@ HEADLINE = [
     ("hreflang_clusters", "hreflang explode → min-label component iterations (edge-proportional equi-joins, lineage-broken) → one size agg"),
     ("mirror_hosts", "distinct (fp,host) agg → boilerplate cap drops >8-host fingerprints (bounds the pair join to C(8,2)/fp — the skew guard) → pair count + two size joins"),
     ("link_header_parse", "link-value pull + per-value attr regex + rel-token explode, all in one narrow codegen stage"),
+    ("pdf_object_index", "classic-xref walk is one Arrow mapInPandas over the payload column; untrusted counts bounded before any loop, bytes never shuffle"),
+    ("pdf_page_index", "Catalog→Pages→Kids walk in the same single Arrow pass; per-page rows exit narrow (object numbers + stream extents, no bytes)"),
 ]
 
 

@@ -3472,3 +3472,81 @@ def q_wet_roundtrip(spark, sf_dir):
         "n_body_bytes",
         F.decode(F.col("html"), "UTF-8").alias("body"),
     )
+
+
+@q(
+    "pdf_object_index",
+    # Closed-form oracle for the classic-xref walk: the synthesizer
+    # pads every non-stream object to a 96-byte slot and every content
+    # stream to a 160-byte slot (comment padding, legal inter-object
+    # bytes), so with n = 1 + id%3 pages the offsets are pure sums:
+    # catalog at 9, pages at 105, page j at 9+96*(1+j), stream j at
+    # 9+96*(2+n)+160*(j-1) with /Length 20+(id*7+(j-1)*11)%40. The
+    # engine must parse startxref, the 20-byte xref entries, and each
+    # object's /Type or stream framing to reproduce every column.
+    """
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n
+               FROM documents WHERE doc_id < 64)
+    SELECT doc_id, 0::INT AS obj_num, 65535::INT AS gen,
+           0::BIGINT AS "offset", 0::INT AS in_use,
+           'free' AS obj_class, NULL::INT AS stream_len FROM d
+    UNION ALL
+    SELECT doc_id, 1::INT, 0::INT, 9::BIGINT, 1::INT, 'catalog',
+           NULL::INT FROM d
+    UNION ALL
+    SELECT doc_id, 2::INT, 0::INT, 105::BIGINT, 1::INT, 'pages',
+           NULL::INT FROM d
+    UNION ALL
+    SELECT doc_id, (2 + j.j)::INT, 0::INT, (9 + 96 * (1 + j.j))::BIGINT,
+           1::INT, 'page', NULL::INT
+    FROM d, unnest(generate_series(1, d.n)) AS j(j)
+    UNION ALL
+    SELECT doc_id, (2 + d.n + j.j)::INT, 0::INT,
+           (9 + 96 * (2 + d.n) + 160 * (j.j - 1))::BIGINT, 1::INT,
+           'stream', (20 + (doc_id * 7 + (j.j - 1) * 11) % 40)::INT
+    FROM d, unnest(generate_series(1, d.n)) AS j(j)
+    """,
+)
+def q_pdf_object_index(spark, sf_dir):
+    """REAL classic-xref PDF walk (operators/pdf.py): startxref →
+    xref table(s) → per-object byte offsets, in-use flags, and
+    structural classes (ISO 32000-1 layout, /Prev incremental-update
+    chains followed) — the range-read index a 100 TB crawl pipeline
+    fans out before any PDF renderer runs."""
+    from ..operators.pdf import pdf_object_index, with_synth_pdf
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return pdf_object_index(with_synth_pdf(docs))
+
+
+@q(
+    "pdf_page_index",
+    # Same fixed-slot closed form, projected through the Catalog →
+    # Pages → Kids tree walk: page j (0-based) is object 3+j, its
+    # /Contents stream is object 3+n+j at 9+96*(2+n)+160*j, and the
+    # raw stream data starts 32 bytes in ("K 0 obj\\n" 8 +
+    # "<< /Length NN >>\\n" 17 + "stream\\n" 7).
+    """
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n
+               FROM documents WHERE doc_id < 64)
+    SELECT doc_id, (j.j - 1)::INT AS page_idx, (2 + j.j)::INT AS page_obj,
+           (2 + d.n + j.j)::INT AS content_obj,
+           (9 + 96 * (2 + d.n) + 160 * (j.j - 1))::BIGINT AS content_offset,
+           (9 + 96 * (2 + d.n) + 160 * (j.j - 1) + 32)::BIGINT AS stream_off,
+           (20 + (doc_id * 7 + (j.j - 1) * 11) % 40)::INT AS stream_len
+    FROM d, unnest(generate_series(1, d.n)) AS j(j)
+    """,
+)
+def q_pdf_page_index(spark, sf_dir):
+    """PDF page-tree traversal (operators/pdf.py): ordered pages from
+    Catalog → Pages → Kids (nested /Pages nodes supported) joined to
+    each page's /Contents stream extent — the unit of work for
+    distributed PDF text extraction."""
+    from ..operators.pdf import pdf_page_index, with_synth_pdf
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return pdf_page_index(with_synth_pdf(docs))
