@@ -124,6 +124,7 @@ _CHECK_FIRST = [
     "wet_roundtrip",
     "pdf_object_index",
     "pdf_page_index",
+    "pdf_text_extract",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

@@ -137,6 +137,7 @@ HEADLINE = [
     # round-5 additions (fifth batch): PDF document indexes
     "pdf_object_index",
     "pdf_page_index",
+    "pdf_text_extract",
 ]
 
 

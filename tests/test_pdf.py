@@ -209,3 +209,85 @@ def test_pdf_stage_malformed_rows_emit_nothing(spark):
     out = pdf_object_index(df).collect()
     assert {r.doc_id for r in out} == {1}
     assert len(out) == len(_expected_objects(1))
+
+
+# ---------------------------------------------------------------------------
+# text extraction (Tj / TJ / Td walk)
+# ---------------------------------------------------------------------------
+
+from web_scraper_spark.operators.pdf import (  # noqa: E402
+    _pdf_literal_string,
+    _text_runs,
+    parse_pdf_text_runs,
+    pdf_text_extract,
+    synth_pdf_text,
+    synth_pdf_text_n_lines,
+    with_synth_pdf_text,
+)
+
+
+def _expected_text(doc_id: int):
+    return [
+        (j, k, 72, 708 - 14 * k, f"doc {doc_id} page {j} line {k}")
+        for j in range(synth_pdf_n_pages(doc_id))
+        for k in range(synth_pdf_text_n_lines(doc_id, j))
+    ]
+
+
+def test_text_runs_formula_parity():
+    for doc_id in range(32):
+        assert parse_pdf_text_runs(synth_pdf_text(doc_id)) == _expected_text(
+            doc_id
+        ), doc_id
+
+
+def test_literal_string_escapes():
+    # named escapes, balanced nesting, octal (3-digit, 8-bit wrap),
+    # line continuation, and the drop-the-backslash rule for unknowns
+    s, _ = _pdf_literal_string(rb"(a\(b\)c \\ \110\151 (nested) \n\501\x)", 0)
+    assert s == b"a(b)c \\ Hi (nested) \nAx"
+    s, _ = _pdf_literal_string(b"(one\\\ntwo)", 0)  # continuation joins lines
+    assert s == b"onetwo"
+    assert _pdf_literal_string(b"(unterminated", 0) is None
+
+
+def test_tj_array_concatenates_string_parts():
+    runs = _text_runs(b"BT 10 20 Td [(Hel) -250 (lo)] TJ ET")
+    assert runs == [(10.0, 20.0, b"Hello")]
+
+
+def test_td_cursor_tracking_and_bt_reset():
+    runs = _text_runs(
+        b"BT 72 700 Td (a) Tj 0 -14 Td (b) Tj ET BT 10 20 Td (c) Tj ET"
+    )
+    assert runs == [(72.0, 700.0, b"a"), (72.0, 686.0, b"b"), (10.0, 20.0, b"c")]
+
+
+def test_malformed_content_streams_refused():
+    assert _text_runs(b"BT (oops Tj ET") is None  # unterminated string
+    assert _text_runs(b"BT Tj ET") is None  # Tj with no operand
+    # graphics operators between text ops are skipped, not fatal
+    runs = _text_runs(b"q 1 0 0 1 0 0 cm BT 5 6 Td (ok) Tj ET Q")
+    assert runs == [(5.0, 6.0, b"ok")]
+
+
+def test_text_truncation_never_raises():
+    d = synth_pdf_text(7)
+    for cut in range(0, len(d), 3):
+        parse_pdf_text_runs(d[:cut])
+
+
+def test_pdf_text_stage(spark):
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = pdf_text_extract(with_synth_pdf_text(docs))
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in range(24):
+        got = [
+            (r.page_idx, r.run_idx, r.x, r.y, r.text)
+            for r in sorted(by_doc[d], key=lambda r: (r.page_idx, r.run_idx))
+        ]
+        assert got == _expected_text(d), d
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -53,6 +53,7 @@ HEADLINE = [
     ("link_header_parse", "link-value pull + per-value attr regex + rel-token explode, all in one narrow codegen stage"),
     ("pdf_object_index", "classic-xref walk is one Arrow mapInPandas over the payload column; untrusted counts bounded before any loop, bytes never shuffle"),
     ("pdf_page_index", "Catalog→Pages→Kids walk in the same single Arrow pass; per-page rows exit narrow (object numbers + stream extents, no bytes)"),
+    ("pdf_text_extract", "page-tree walk + stream slice + text-operator tokenizer fused in ONE Arrow stage; only decoded text rows exit, bytes never shuffle"),
 ]
 
 

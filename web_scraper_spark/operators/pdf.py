@@ -26,6 +26,12 @@ stage failure):
   Kids tree walk (nested ``/Pages`` nodes supported), joined to each
   page's ``/Contents`` stream with the exact byte extent of the
   stream data.
+- ``pdf_text_extract``: per-run text with line positions from
+  UNCOMPRESSED content streams — a tokenizer over the published text
+  operators (``BT``/``Td``/``TD``/``Tj``/``TJ``/``ET``) with full
+  PDF literal-string unescaping (named + octal escapes, balanced
+  parens, line continuations). Flate-compressed streams are out of
+  scope (codec-free contract): they emit nothing, never wrong text.
 
 Untrusted-input discipline (same contract as jpeg.py/video.py after
 the r4 ADVICE findings): every count parsed from payload bytes is
@@ -62,8 +68,12 @@ __all__ = [
     "parse_pdf_pages",
     "pdf_object_index",
     "pdf_page_index",
+    "parse_pdf_text_runs",
+    "pdf_text_extract",
     "synth_pdf",
+    "synth_pdf_text",
     "with_synth_pdf",
+    "with_synth_pdf_text",
 ]
 
 _MAX_XREF_SECTIONS = 16
@@ -451,3 +461,253 @@ def pdf_page_index(
             )
 
     return df.mapInPandas(run, schema=_PAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# text extraction from uncompressed content streams (Tj / TJ / Td walk)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    rb"(?P<num>[+-]?\d+(?:\.\d+)?|[+-]?\.\d+)"
+    rb"|(?P<name>/[^\s()<>\[\]{}/%]*)"
+    rb"|(?P<op>[A-Za-z']{1,3}\*?)"
+    rb"|(?P<other>\S)"
+)
+
+_ESC_MAP = {
+    0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f",
+    0x28: b"(", 0x29: b")", 0x5C: b"\\",
+}
+
+
+def _pdf_literal_string(content: bytes, i: int):
+    """Decode a PDF literal string starting at ``content[i] == '('``:
+    balanced parens, backslash escapes (named, octal up to 3 digits,
+    line continuations). Returns ``(bytes, next_index)`` or ``None``
+    when unterminated."""
+    assert content[i : i + 1] == b"("
+    depth, out, i = 1, bytearray(), i + 1
+    n = len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                return None
+            e = content[i]
+            if e in _ESC_MAP:
+                out += _ESC_MAP[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                val, k = 0, 0
+                while k < 3 and i < n and 0x30 <= content[i] <= 0x37:
+                    val = val * 8 + (content[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(val & 0xFF)
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and content[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the backslash is dropped (spec)
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return None  # unterminated
+
+
+def _text_runs(content: bytes):
+    """Walk one uncompressed content stream, emitting ``(x, y, text)``
+    per shown string: ``BT`` resets the line cursor, ``Td``/``TD``
+    translate it, ``Tj`` shows a string, ``TJ`` shows an array whose
+    string parts concatenate (kerning numbers ignored). Graphics and
+    font operators are skipped; hex strings and compressed streams are
+    out of scope (emit nothing rather than wrong text)."""
+    runs = []
+    stack: list[float] = []
+    x = y = 0.0
+    last_string: bytes | None = None
+    in_tj_array = False
+    tj_parts: list[bytes] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"(":
+            s = _pdf_literal_string(content, i)
+            if s is None:
+                return None
+            if in_tj_array:
+                tj_parts.append(s[0])
+            else:
+                last_string = s[0]  # Tj consumes the pending literal
+            i = s[1]
+            continue
+        if c == b"[":
+            in_tj_array = True
+            tj_parts = []
+            i += 1
+            continue
+        if c == b"]":
+            in_tj_array = False
+            i += 1
+            continue
+        m = _TOKEN_RE.match(content, i)
+        if m is None:
+            return None
+        i = m.end()
+        if m.lastgroup == "num":
+            if not in_tj_array:
+                stack.append(float(m.group()))
+            continue
+        if m.lastgroup == "name":
+            continue
+        op = m.group()
+        if op == b"BT":
+            x = y = 0.0
+        elif op in (b"Td", b"TD") and len(stack) >= 2:
+            x += stack[-2]
+            y += stack[-1]
+        elif op == b"Tj":
+            if last_string is None:
+                return None  # Tj with no string operand: malformed
+            runs.append((x, y, last_string))
+        elif op == b"TJ":
+            runs.append((x, y, b"".join(tj_parts)))
+            tj_parts = []
+        stack.clear()  # every operator consumes its operands
+        last_string = None if op in (b"Tj", b"TJ") else last_string
+    return runs
+
+
+def parse_pdf_text_runs(data: bytes):
+    """Rows ``(page_idx, run_idx, x, y, text)`` across the document's
+    pages in order — text decoded from uncompressed content streams
+    only (Flate/hex out of scope, codec-free contract); ``None`` when
+    the page tree is unparseable."""
+    pages = parse_pdf_pages(data)
+    if pages is None:
+        return None
+    out = []
+    for idx, _pobj, _cobj, _coff, soff, slen in pages:
+        if soff is None or slen is None:
+            continue
+        runs = _text_runs(data[soff : soff + slen])
+        if runs is None:
+            continue
+        for ri, (rx, ry, text) in enumerate(runs):
+            out.append((idx, ri, int(rx), int(ry), text.decode("latin-1")))
+    return out
+
+
+def synth_pdf_text_n_lines(doc_id: int, page_j: int) -> int:
+    return 2 + (doc_id + page_j) % 3
+
+
+def synth_pdf_text(doc_id: int) -> bytes:
+    """A classic-xref PDF (same object layout discipline as
+    ``synth_pdf`` but unpadded — this fixture's oracle never reads
+    offsets) whose content streams are REAL uncompressed text
+    operators: page j shows ``2 + (id+j) % 3`` lines ``doc D page J
+    line K`` at x=72, y=708-14*K via an initial ``72 708 Td`` and
+    ``0 -14 Td`` line advances."""
+    n = synth_pdf_n_pages(doc_id)
+    n_obj = 2 + 2 * n
+    buf = bytearray(_HDR)
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(buf)
+        buf.extend(f"{num} 0 obj\n".encode() + body + b"endobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    kids = " ".join(f"{3 + j} 0 R" for j in range(n))
+    emit(2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>\n".encode())
+    for j in range(n):
+        emit(
+            3 + j,
+            f"<< /Type /Page /Parent 2 0 R /Contents {3 + n + j} 0 R >>\n".encode(),
+        )
+    for j in range(n):
+        lines = [b"BT /F1 12 Tf"]
+        for k in range(synth_pdf_text_n_lines(doc_id, j)):
+            td = b"72 708 Td" if k == 0 else b"0 -14 Td"
+            lines.append(td + f" (doc {doc_id} page {j} line {k}) Tj".encode())
+        lines.append(b"ET")
+        content = b"\n".join(lines) + b"\n"
+        emit(
+            3 + n + j,
+            f"<< /Length {len(content)} >>\n".encode()
+            + b"stream\n"
+            + content
+            + b"\nendstream\n",
+        )
+    xref_off = len(buf)
+    buf += f"xref\n0 {n_obj + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, n_obj + 1):
+        buf += f"{offsets[num]:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {n_obj + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)
+
+
+def with_synth_pdf_text(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage: text-bearing PDF per id (see ``synth_pdf_text``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_pdf_text(int(i)) for i in ids])
+
+    return df.withColumn("data", _synth(F.col(id_col)))
+
+
+_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("page_idx", IntegerType(), False),
+        StructField("run_idx", IntegerType(), False),
+        StructField("x", IntegerType(), False),
+        StructField("y", IntegerType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+
+def pdf_text_extract(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-run text from every page's uncompressed content stream, in
+    document order with line positions — distributed PDF → training
+    text. One Arrow pass; undecodable documents emit nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, v in zip(b[id_col], b[data_col]):
+                runs = parse_pdf_text_runs(bytes(v)) if v is not None else None
+                for idx, ri, rx, ry, text in runs or ():
+                    rows.append((int(d), idx, ri, rx, ry, text))
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in _TEXT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=_TEXT_SCHEMA)

@@ -3550,3 +3550,36 @@ def q_pdf_page_index(spark, sf_dir):
         "doc_id"
     )
     return pdf_page_index(with_synth_pdf(docs))
+
+
+@q(
+    "pdf_text_extract",
+    # Closed-form oracle for the content-stream text walk: page j of
+    # doc D shows 2+(D+j)%3 lines "doc D page j line k" at x=72,
+    # y=708-14k (one initial "72 708 Td" then "0 -14 Td" advances).
+    # The engine must walk the page tree, slice each stream extent,
+    # tokenize the text operators, and decode the literal strings.
+    """
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n
+               FROM documents WHERE doc_id < 64),
+    p AS (SELECT doc_id, j.j - 1 AS pj,
+                 2 + (doc_id + j.j - 1) % 3 AS nl
+          FROM d, unnest(generate_series(1, d.n)) AS j(j))
+    SELECT doc_id, pj::INT AS page_idx, k.k::INT AS run_idx,
+           72::INT AS x, (708 - 14 * k.k)::INT AS y,
+           ('doc ' || doc_id || ' page ' || pj || ' line ' || k.k) AS text
+    FROM p, unnest(generate_series(0, p.nl - 1)) AS k(k)
+    """,
+)
+def q_pdf_text_extract(spark, sf_dir):
+    """Distributed PDF → training text (operators/pdf.py): page-tree
+    walk → content-stream slice → Tj/TJ/Td operator tokenizer with
+    PDF literal-string unescaping — per-run text with line positions,
+    in document order. The LLM-pipeline payoff of the PDF index
+    family; uncompressed streams only (codec-free contract)."""
+    from ..operators.pdf import pdf_text_extract, with_synth_pdf_text
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return pdf_text_extract(with_synth_pdf_text(docs))
