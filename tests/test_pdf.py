@@ -291,3 +291,85 @@ def test_pdf_text_stage(spark):
         assert got == _expected_text(d), d
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _synth_flate_pdf(doc_id: int) -> bytes:
+    """synth_pdf_text variant whose content streams are FlateDecode."""
+    import zlib as _z
+
+    from web_scraper_spark.operators.pdf import (
+        synth_pdf_n_pages as _np,
+        synth_pdf_text_n_lines as _nl,
+    )
+
+    n = _np(doc_id)
+    n_obj = 2 + 2 * n
+    buf = bytearray(b"%PDF-1.7\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(buf)
+        buf.extend(f"{num} 0 obj\n".encode() + body + b"endobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    kids = " ".join(f"{3 + j} 0 R" for j in range(n))
+    emit(2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>\n".encode())
+    for j in range(n):
+        emit(
+            3 + j,
+            f"<< /Type /Page /Parent 2 0 R /Contents {3 + n + j} 0 R >>\n".encode(),
+        )
+    for j in range(n):
+        lines = [b"BT /F1 12 Tf"]
+        for k in range(_nl(doc_id, j)):
+            td = b"72 708 Td" if k == 0 else b"0 -14 Td"
+            lines.append(td + f" (doc {doc_id} page {j} line {k}) Tj".encode())
+        lines.append(b"ET")
+        comp = _z.compress(b"\n".join(lines) + b"\n")
+        emit(
+            3 + n + j,
+            f"<< /Length {len(comp)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n"
+            + comp
+            + b"\nendstream\n",
+        )
+    xo = len(buf)
+    buf += f"xref\n0 {n_obj + 1}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, n_obj + 1):
+        buf += f"{offsets[num]:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {n_obj + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xo}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)
+
+
+def test_flate_streams_decode_identically():
+    for doc_id in range(16):
+        assert parse_pdf_text_runs(_synth_flate_pdf(doc_id)) == _expected_text(
+            doc_id
+        ), doc_id
+
+
+def test_flate_bomb_and_corrupt_refused():
+    import zlib as _z
+
+    from web_scraper_spark.operators.pdf import _MAX_INFLATE, _content_bytes
+
+    # a tiny stream inflating past the cap must be refused, not ballooned
+    bomb = _z.compress(b"BT " + b"(x) Tj " * (_MAX_INFLATE // 7) + b"ET")
+    doc = bytearray(b"%PDF-1.7\n")
+    off = len(doc)
+    doc += (
+        f"5 0 obj\n<< /Length {len(bomb)} /Filter /FlateDecode >>\n".encode()
+        + b"stream\n" + bomb + b"\nendstream\nendobj\n"
+    )
+    data = bytes(doc)
+    soff = data.find(b"stream\n") + 7
+    assert _content_bytes(data, off, soff, len(bomb)) is None
+    # corrupt deflate data (same length, so the region still parses)
+    # -> None, not an exception and not partial text
+    corrupt = bomb[:10] + bytes(len(bomb) - 10)
+    assert _content_bytes(
+        bytes(doc).replace(bomb, corrupt), off, soff, len(bomb)
+    ) is None

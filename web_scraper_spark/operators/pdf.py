@@ -50,6 +50,7 @@ without them.
 from __future__ import annotations
 
 import re
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -594,19 +595,51 @@ def _text_runs(content: bytes):
     return runs
 
 
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_MAX_INFLATE = 1 << 22  # 4 MiB inflated per stream — bomb guard
+
+
+def _content_bytes(data: bytes, coff, soff: int, slen: int):
+    """The decoded bytes of one content stream: raw when unfiltered,
+    inflated via stdlib zlib when the stream dict declares
+    ``/FlateDecode`` — capped at ``_MAX_INFLATE`` so a small
+    compression bomb can't balloon into executor memory (same
+    discipline as the PNG IDAT guard in rawmedia.py). ``None`` for
+    corrupt deflate data, over-cap inflation, or other filters."""
+    raw = data[soff : soff + slen]
+    if coff is not None:
+        reg = _object_region(data, coff)
+        if reg is not None and reg[3] is not None and _FLATE_RE.search(
+            reg[2][: reg[3]]
+        ):
+            try:
+                dec = zlib.decompressobj()
+                out = dec.decompress(raw, _MAX_INFLATE)
+            except zlib.error:
+                return None
+            if dec.unconsumed_tail or not dec.eof:
+                # past the cap (bomb) or truncated/garbage-tailed
+                # deflate data: refuse, don't OOM or emit partial text
+                return None
+            return out
+    return raw
+
+
 def parse_pdf_text_runs(data: bytes):
     """Rows ``(page_idx, run_idx, x, y, text)`` across the document's
-    pages in order — text decoded from uncompressed content streams
-    only (Flate/hex out of scope, codec-free contract); ``None`` when
-    the page tree is unparseable."""
+    pages in order — text decoded from raw or FlateDecode content
+    streams (stdlib zlib, inflation-capped); other filters and hex
+    strings are out of scope and emit nothing rather than wrong text.
+    ``None`` when the page tree is unparseable."""
     pages = parse_pdf_pages(data)
     if pages is None:
         return None
     out = []
-    for idx, _pobj, _cobj, _coff, soff, slen in pages:
+    for idx, _pobj, _cobj, coff, soff, slen in pages:
         if soff is None or slen is None:
             continue
-        runs = _text_runs(data[soff : soff + slen])
+        content = _content_bytes(data, coff, soff, slen)
+        runs = _text_runs(content) if content is not None else None
         if runs is None:
             continue
         for ri, (rx, ry, text) in enumerate(runs):
