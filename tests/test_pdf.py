@@ -373,3 +373,36 @@ def test_flate_bomb_and_corrupt_refused():
     assert _content_bytes(
         bytes(doc).replace(bomb, corrupt), off, soff, len(bomb)
     ) is None
+
+
+def test_contents_array_streams_concatenate():
+    # /Contents [7 0 R 8 0 R]: the two streams form ONE content stream
+    # (ISO 32000 §7.7.3.3) — text split across them must still decode
+    objs: dict[int, int] = {}
+    body = bytearray(b"%PDF-1.7\n")
+
+    def emit(num: int, text: bytes) -> None:
+        objs[num] = len(body)
+        body.extend(f"{num} 0 obj\n".encode() + text + b"endobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+    emit(3, b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\n")
+    part1 = b"BT 72 708 Td (first) Tj"
+    part2 = b"0 -14 Td (second) Tj ET"
+    for num, content in ((4, part1), (5, part2)):
+        emit(
+            num,
+            f"<< /Length {len(content)} >>\n".encode()
+            + b"stream\n" + content + b"\nendstream\n",
+        )
+    xo = len(body)
+    body += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, len(objs) + 1):
+        body += f"{objs[num]:010d} 00000 n \n".encode()
+    body += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xo}\n%%EOF\n"
+    ).encode()
+    runs = parse_pdf_text_runs(bytes(body))
+    assert runs == [(0, 0, 72, 708, "first"), (0, 1, 72, 694, "second")]

@@ -625,21 +625,72 @@ def _content_bytes(data: bytes, coff, soff: int, slen: int):
     return raw
 
 
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[((?:[^\[\]])*)\]")
+
+
+def _content_refs(region: bytes) -> list[int]:
+    """All /Contents stream object numbers of a page — the array form
+    ``/Contents [a 0 R b 0 R]`` (ISO 32000 §7.7.3.3: the streams
+    concatenate into ONE content stream) or the single-ref form."""
+    m = _CONTENTS_ARR_RE.search(region)
+    if m is not None:
+        return [int(g) for g in _REF_RE.findall(m.group(1))]
+    m = _CONTENTS_RE.search(region)
+    return [int(m.group(1))] if m is not None else []
+
+
 def parse_pdf_text_runs(data: bytes):
     """Rows ``(page_idx, run_idx, x, y, text)`` across the document's
     pages in order — text decoded from raw or FlateDecode content
-    streams (stdlib zlib, inflation-capped); other filters and hex
-    strings are out of scope and emit nothing rather than wrong text.
-    ``None`` when the page tree is unparseable."""
-    pages = parse_pdf_pages(data)
-    if pages is None:
+    streams (stdlib zlib, inflation-capped); /Contents ARRAYS are
+    concatenated per the spec before tokenizing, so a text object
+    split across streams still decodes. Other filters and hex strings
+    are out of scope and emit nothing rather than wrong text. ``None``
+    when the page tree is unparseable."""
+    if not data.startswith(b"%PDF-"):
+        return None
+    chain = _read_xref_chain(data)
+    if chain is None or chain[1] is None:
+        return None
+    entries, root = chain
+    ent = entries.get(root)
+    if ent is None or not ent[2]:
+        return None
+    reg = _object_region(data, ent[0])
+    if reg is None:
+        return None
+    pm = _PAGES_REF_RE.search(reg[2])
+    if pm is None:
+        return None
+    pages: list[int] = []
+    if not _walk_kids(data, entries, int(pm.group(1)), pages, 0):
         return None
     out = []
-    for idx, _pobj, _cobj, coff, soff, slen in pages:
-        if soff is None or slen is None:
-            continue
-        content = _content_bytes(data, coff, soff, slen)
-        runs = _text_runs(content) if content is not None else None
+    for idx, pnum in enumerate(pages):
+        preg = _object_region(data, entries[pnum][0])
+        if preg is None:
+            return None
+        parts = []
+        for cnum in _content_refs(preg[2]):
+            cent = entries.get(cnum)
+            if cent is None or not cent[2]:
+                parts = None
+                break
+            creg = _object_region(data, cent[0])
+            if creg is None or creg[3] is None or creg[4] is None:
+                parts = None
+                break
+            piece = _content_bytes(
+                data, cent[0], cent[0] + creg[3], creg[4]
+            )
+            if piece is None:
+                parts = None
+                break
+            parts.append(piece)
+        if not parts:
+            continue  # no/undecodable contents: page emits nothing
+        # §7.7.3.3: array elements join with whitespace between tokens
+        runs = _text_runs(b"\n".join(parts))
         if runs is None:
             continue
         for ri, (rx, ry, text) in enumerate(runs):
