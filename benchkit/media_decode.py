@@ -45,12 +45,17 @@ def stages():
         with_synth_mp4,
         with_synth_webm,
     )
+    from web_scraper_spark.operators.pdf import (
+        pdf_text_extract,
+        with_synth_pdf_text,
+    )
     from web_scraper_spark.operators.vp9 import (
         vp9_frame_index,
         with_synth_vp9,
     )
 
     return [
+        ("pdf_text_extract", with_synth_pdf_text, pdf_text_extract),
         ("mp4_frame_index", with_synth_mp4, mp4_frame_index),
         ("webm_frame_index", with_synth_webm, webm_frame_index),
         ("mp3_frame_index", with_synth_mp3, mp3_frame_index),
