@@ -125,6 +125,8 @@ _CHECK_FIRST = [
     "pdf_object_index",
     "pdf_page_index",
     "pdf_text_extract",
+    "zip_entry_index",
+    "docx_text_extract",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

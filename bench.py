@@ -138,6 +138,8 @@ HEADLINE = [
     "pdf_object_index",
     "pdf_page_index",
     "pdf_text_extract",
+    "zip_entry_index",
+    "docx_text_extract",
 ]
 
 

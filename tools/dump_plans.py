@@ -54,6 +54,7 @@ HEADLINE = [
     ("pdf_object_index", "classic-xref walk is one Arrow mapInPandas over the payload column; untrusted counts bounded before any loop, bytes never shuffle"),
     ("pdf_page_index", "Catalog→Pages→Kids walk in the same single Arrow pass; per-page rows exit narrow (object numbers + stream extents, no bytes)"),
     ("pdf_text_extract", "page-tree walk + stream slice + text-operator tokenizer fused in ONE Arrow stage; only decoded text rows exit, bytes never shuffle"),
+    ("docx_text_extract", "central-directory lookup + capped member deflate + WordprocessingML parse in ONE Arrow stage; paragraphs exit narrow"),
 ]
 
 

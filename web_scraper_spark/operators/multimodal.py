@@ -112,6 +112,7 @@ def sniff_media_format(data: Column) -> Column:
         .when(pre(4) == F.lit(b"OggS"), F.lit("ogg"))
         .when(pre(4) == F.lit(b"fLaC"), F.lit("flac"))
         .when(pre(5) == F.lit(b"%PDF-"), F.lit("pdf"))
+        .when(pre(4) == F.lit(b"PK\x03\x04"), F.lit("zip"))
         .when(pre(3) == F.lit(b"ID3"), F.lit("mp3"))
         .when(pre(2) == F.lit(b"\xff\xfb"), F.lit("mp3"))
         .when(pre(2) == F.lit(b"BM"), F.lit("bmp"))

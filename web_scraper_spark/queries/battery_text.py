@@ -3583,3 +3583,73 @@ def q_pdf_text_extract(spark, sf_dir):
         "doc_id"
     )
     return pdf_text_extract(with_synth_pdf_text(docs))
+
+
+@q(
+    "zip_entry_index",
+    # Closed-form oracle for the central-directory walk: n = 2+id%4
+    # stored members "f{i}.txt" (6-byte names) of 10+(id*3+i*7)%30
+    # payload bytes, so local header i sits at the cumsum of
+    # (36 + plen_j) over j<i and member data 36 bytes further. crc32
+    # is parsed and CRC-verified engine-side but is not
+    # SQL-expressible, so the battery projects the other columns.
+    """
+    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n
+               FROM documents WHERE doc_id < 64),
+    m AS (SELECT doc_id, i.i,
+                 10 + (doc_id * 3 + i.i * 7) % 30 AS plen
+          FROM d, unnest(generate_series(0, d.n - 1)) AS i(i))
+    SELECT doc_id, i::INT AS entry_idx,
+           'f' || i || '.txt' AS name, 0::INT AS method,
+           plen::BIGINT AS comp_len, plen::BIGINT AS uncomp_len,
+           coalesce(sum(36 + plen) OVER (
+              PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+           )::BIGINT AS header_off,
+           (coalesce(sum(36 + plen) OVER (
+              PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + 36)::BIGINT AS data_off
+    FROM m
+    """,
+)
+def q_zip_entry_index(spark, sf_dir):
+    """REAL ZIP central-directory walk (operators/zipindex.py): EOCD
+    backward scan → 46-byte central headers → per-member byte extents
+    with local-header cross-verification (APPNOTE.TXT layout) — the
+    range-read index for DOCX/EPUB/JAR-class crawl payloads, with
+    count bombs bounded before any loop."""
+    from ..operators.zipindex import with_synth_zip, zip_entry_index
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return zip_entry_index(with_synth_zip(docs)).drop("crc32")
+
+
+@q(
+    "docx_text_extract",
+    # Closed-form oracle for the WordprocessingML walk: 2+id%3
+    # paragraphs of two <w:t> runs concatenating to
+    # "doc D para K run 1". The engine must find word/document.xml in
+    # the central directory, INFLATE it (method 8, capped zlib), and
+    # parse the <w:p>/<w:t> structure to reproduce the rows.
+    """
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS np
+               FROM documents WHERE doc_id < 64)
+    SELECT doc_id, k.k::INT AS para_idx,
+           ('doc ' || doc_id || ' para ' || k.k || ' run 1') AS text
+    FROM d, unnest(generate_series(0, d.np - 1)) AS k(k)
+    """,
+)
+def q_docx_text_extract(spark, sf_dir):
+    """Distributed DOCX → training text (operators/zipindex.py):
+    central-directory lookup → capped deflate of word/document.xml →
+    per-paragraph <w:t> run concatenation with XML unescaping — the
+    Office-document analogue of pdf_text_extract."""
+    from ..operators.zipindex import docx_text_extract, with_synth_docx
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return docx_text_extract(with_synth_docx(docs))
