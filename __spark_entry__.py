@@ -127,6 +127,7 @@ _CHECK_FIRST = [
     "pdf_text_extract",
     "zip_entry_index",
     "docx_text_extract",
+    "epub_text_extract",
     # registered late in round 4 → never driver-checked; the media/cuckoo
     # modules also took the r5 untrusted-payload bound fixes, so these are
     # doubly due (VERDICT r4 "Next round" #1)

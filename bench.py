@@ -140,6 +140,7 @@ HEADLINE = [
     "pdf_text_extract",
     "zip_entry_index",
     "docx_text_extract",
+    "epub_text_extract",
 ]
 
 

@@ -168,3 +168,94 @@ def test_zip_stage_malformed_rows_emit_nothing(spark):
     out = zip_entry_index(df).collect()
     assert {r.doc_id for r in out} == {1}
     assert len(out) == len(_expected_entries(1))
+
+
+# ---------------------------------------------------------------------------
+# EPUB (OCF container -> OPF spine -> XHTML)
+# ---------------------------------------------------------------------------
+
+from web_scraper_spark.operators.zipindex import (  # noqa: E402
+    epub_text_extract,
+    parse_epub_chapters,
+    synth_epub,
+    synth_epub_n_chapters,
+    with_synth_epub,
+)
+
+
+def _expected_chapters(doc_id: int):
+    n = synth_epub_n_chapters(doc_id)
+    return [
+        (
+            idx,
+            f"OEBPS/ch{i}.xhtml",
+            f"doc {doc_id} ch {i} heading doc {doc_id} ch {i} para &",
+        )
+        for idx, i in enumerate(reversed(range(n)))
+    ]
+
+
+def test_epub_chapter_parity_spine_order():
+    # the synth spine REVERSES manifest order: honoring the spine (not
+    # the manifest) is what makes the parity hold, and the non-spine
+    # cover.png decoy must never surface
+    for doc_id in range(32):
+        assert parse_epub_chapters(synth_epub(doc_id)) == _expected_chapters(
+            doc_id
+        ), doc_id
+
+
+def test_epub_is_a_real_zip():
+    import io
+    import zipfile as zf_mod
+
+    for doc_id in (0, 5):
+        zf = zf_mod.ZipFile(io.BytesIO(synth_epub(doc_id)))
+        assert zf.testzip() is None
+        assert zf.read("mimetype") == b"application/epub+zip"
+
+
+def test_epub_spine_outside_manifest_refused():
+    data = synth_epub(1)
+    opf_plain = extract_zip_member(data, "OEBPS/content.opf")
+    # a spine idref with no manifest item is a structural violation
+    bad_opf = opf_plain.replace(b'idref="c0"', b'idref="ghost"')
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    blob = comp.compress(bad_opf) + comp.flush()
+    ents = parse_zip_entries(data)
+    rebuilt = []
+    for _i, name, method, csize, _us, _crc, _lfh, doff in ents:
+        plain = extract_zip_member(data, name)
+        if name == "OEBPS/content.opf":
+            rebuilt.append((name.encode(), 8, blob, bad_opf))
+        else:
+            raw = data[doff : doff + csize]
+            rebuilt.append((name.encode(), method, raw, plain))
+    assert parse_epub_chapters(_zip_build(rebuilt)) is None
+
+
+def test_epub_truncation_and_fuzz_never_raise():
+    d = synth_epub(7)
+    for cut in range(0, len(d), 5):
+        parse_epub_chapters(d[:cut])
+    rng = random.Random(5)
+    for _ in range(200):
+        parse_epub_chapters(
+            bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        )
+
+
+def test_epub_stage(spark):
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = epub_text_extract(with_synth_epub(docs))
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in range(24):
+        got = [
+            (r.spine_idx, r.href, r.text)
+            for r in sorted(by_doc[d], key=lambda r: r.spine_idx)
+        ]
+        assert got == _expected_chapters(d), d
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -55,6 +55,7 @@ HEADLINE = [
     ("pdf_page_index", "Catalog→Pages→Kids walk in the same single Arrow pass; per-page rows exit narrow (object numbers + stream extents, no bytes)"),
     ("pdf_text_extract", "page-tree walk + stream slice + text-operator tokenizer fused in ONE Arrow stage; only decoded text rows exit, bytes never shuffle"),
     ("docx_text_extract", "central-directory lookup + capped member deflate + WordprocessingML parse in ONE Arrow stage; paragraphs exit narrow"),
+    ("epub_text_extract", "container->OPF->spine->XHTML chain entirely inside the same single Arrow stage; reading-order chapters exit narrow"),
 ]
 
 

@@ -66,6 +66,10 @@ __all__ = [
     "with_synth_zip",
     "synth_docx",
     "with_synth_docx",
+    "parse_epub_chapters",
+    "epub_text_extract",
+    "synth_epub",
+    "with_synth_epub",
 ]
 
 _EOCD_SIG = b"PK\x05\x06"
@@ -180,8 +184,9 @@ def extract_zip_member(data: bytes, member: str):
 _WP_RE = re.compile(rb"<w:p[ >].*?</w:p>|<w:p/>", re.S)
 _WT_RE = re.compile(rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.S)
 _XML_UNESC = {
-    b"&amp;": b"&", b"&lt;": b"<", b"&gt;": b">",
-    b"&quot;": b'"', b"&apos;": b"'",
+    # &amp; LAST, or "&amp;lt;" would double-unescape into "<"
+    b"&lt;": b"<", b"&gt;": b">",
+    b"&quot;": b'"', b"&apos;": b"'", b"&amp;": b"&",
 }
 
 
@@ -410,3 +415,155 @@ def docx_text_extract(
             )
 
     return df.mapInPandas(run, schema=_DOCX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EPUB chapter text (OCF container -> OPF spine -> XHTML tag strip)
+# ---------------------------------------------------------------------------
+
+_FULLPATH_RE = re.compile(rb'full-path="([^"]+)"')
+_ITEM_RE = re.compile(rb"<item\s[^>]*>")
+_ATTR_ID_RE = re.compile(rb'\bid="([^"]+)"')
+_ATTR_HREF_RE = re.compile(rb'\bhref="([^"]+)"')
+_ITEMREF_RE = re.compile(rb'<itemref\s[^>]*\bidref="([^"]+)"')
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(rb"\s+")
+
+
+def parse_epub_chapters(data: bytes):
+    """Rows ``(spine_idx, href, text)`` in READING ORDER — the OCF
+    walk a distributed ebook → text pipeline runs: META-INF/
+    container.xml names the OPF package, the OPF manifest maps ids to
+    hrefs, and the SPINE (not manifest order) gives the chapter
+    sequence (EPUB OCF/Packages 3.3, idpf.org). Chapter XHTML is
+    extracted through the capped-deflate path, tag-stripped,
+    entity-unescaped, and whitespace-collapsed. Non-spine manifest
+    items (covers, fonts, styles) never surface. ``None`` when the
+    container chain is unreadable."""
+    cx = extract_zip_member(data, "META-INF/container.xml")
+    if cx is None:
+        return None
+    fm = _FULLPATH_RE.search(cx)
+    if fm is None:
+        return None
+    opf_path = fm.group(1).decode("utf-8", "replace")
+    opf = extract_zip_member(data, opf_path)
+    if opf is None:
+        return None
+    opf_dir = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    manifest: dict[bytes, bytes] = {}
+    for tag in _ITEM_RE.findall(opf):
+        im = _ATTR_ID_RE.search(tag)
+        hm = _ATTR_HREF_RE.search(tag)
+        if im is not None and hm is not None:
+            manifest[im.group(1)] = hm.group(1)
+    rows = []
+    for idx, idref in enumerate(_ITEMREF_RE.findall(opf)):
+        href = manifest.get(idref)
+        if href is None:
+            return None  # spine points outside the manifest
+        member = opf_dir + href.decode("utf-8", "replace")
+        xhtml = extract_zip_member(data, member)
+        if xhtml is None:
+            return None
+        text = _WS_RE.sub(b" ", _TAG_RE.sub(b" ", xhtml)).strip()
+        rows.append(
+            (idx, member, _xml_unescape(text).decode("utf-8", "replace"))
+        )
+    return rows
+
+
+def synth_epub_n_chapters(doc_id: int) -> int:
+    return 1 + doc_id % 3
+
+
+def synth_epub(doc_id: int) -> bytes:
+    """A minimal deterministic EPUB: stored mimetype + container.xml,
+    a deflated OPF whose spine lists ``1 + id % 3`` chapters in
+    REVERSE manifest order (so honoring the spine is observable), a
+    non-spine decoy item, and deflated XHTML chapters whose stripped
+    text is ``doc D ch I heading doc D ch I para &`` per chapter."""
+    n = synth_epub_n_chapters(doc_id)
+    mime = b"application/epub+zip"
+    container = (
+        b'<?xml version="1.0"?><container version="1.0"><rootfiles>'
+        b'<rootfile full-path="OEBPS/content.opf" '
+        b'media-type="application/oebps-package+xml"/>'
+        b"</rootfiles></container>"
+    )
+    items = [
+        f'<item id="c{i}" href="ch{i}.xhtml" media-type="application/xhtml+xml"/>'
+        for i in range(n)
+    ]
+    items.append('<item id="cover" href="cover.png" media-type="image/png"/>')
+    spine = [f'<itemref idref="c{i}"/>' for i in reversed(range(n))]
+    opf = (
+        '<?xml version="1.0"?><package version="3.0"><manifest>'
+        + "".join(items)
+        + "</manifest><spine>"
+        + "".join(spine)
+        + "</spine></package>"
+    ).encode()
+    members: list[tuple[bytes, int, bytes, bytes]] = [
+        (b"mimetype", 0, mime, mime),
+        (b"META-INF/container.xml", 0, container, container),
+    ]
+
+    def _deflate(plain: bytes) -> tuple[int, bytes]:
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return 8, c.compress(plain) + c.flush()
+
+    m, blob = _deflate(opf)
+    members.append((b"OEBPS/content.opf", m, blob, opf))
+    for i in range(n):
+        xhtml = (
+            f"<html><body><h1>doc {doc_id} ch {i} heading</h1>"
+            f"<p>doc {doc_id} ch {i} para &amp;</p></body></html>"
+        ).encode()
+        m, blob = _deflate(xhtml)
+        members.append((f"OEBPS/ch{i}.xhtml".encode(), m, blob, xhtml))
+    cover = bytes(16)
+    members.append((b"OEBPS/cover.png", 0, cover, cover))
+    return _zip_build(members)
+
+
+def with_synth_epub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_epub(int(i)) for i in ids])
+
+    return df.withColumn("data", _synth(F.col(id_col)))
+
+
+_EPUB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("spine_idx", IntegerType(), False),
+        StructField("href", StringType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+
+def epub_text_extract(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per spine chapter in reading order — distributed
+    EPUB → training text. One Arrow pass; unreadable books emit
+    nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, v in zip(b[id_col], b[data_col]):
+                chs = parse_epub_chapters(bytes(v)) if v is not None else None
+                for idx, href, text in chs or ():
+                    rows.append((int(d), idx, href, text))
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in _EPUB_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=_EPUB_SCHEMA)

@@ -3653,3 +3653,35 @@ def q_docx_text_extract(spark, sf_dir):
         "doc_id"
     )
     return docx_text_extract(with_synth_docx(docs))
+
+
+@q(
+    "epub_text_extract",
+    # Closed-form oracle for the OCF/OPF walk: n = 1+id%3 chapters
+    # whose OPF spine lists them in REVERSE manifest order, so
+    # spine_idx s maps to chapter i = n-1-s; stripped/unescaped text
+    # is "doc D ch I heading doc D ch I para &". The engine must chain
+    # container.xml -> OPF -> spine -> deflated XHTML members and
+    # honor spine order (a manifest-order walk fails the hash).
+    """
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n
+               FROM documents WHERE doc_id < 64)
+    SELECT doc_id, s.s::INT AS spine_idx,
+           ('OEBPS/ch' || (d.n - 1 - s.s) || '.xhtml') AS href,
+           ('doc ' || doc_id || ' ch ' || (d.n - 1 - s.s) || ' heading doc '
+            || doc_id || ' ch ' || (d.n - 1 - s.s) || ' para &') AS text
+    FROM d, unnest(generate_series(0, d.n - 1)) AS s(s)
+    """,
+)
+def q_epub_text_extract(spark, sf_dir):
+    """Distributed EPUB → training text (operators/zipindex.py): OCF
+    container.xml → OPF manifest/spine → per-chapter XHTML tag strip
+    in READING order, through the same capped-deflate ZIP path —
+    completes the ebook/Office document-text family next to
+    pdf_text_extract and docx_text_extract."""
+    from ..operators.zipindex import epub_text_extract, with_synth_epub
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return epub_text_extract(with_synth_epub(docs))
