@@ -100,6 +100,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior round (see COVERAGE.md per-entry round ledger).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
+    # VERDICT r4 "Next round" #1, positions 0-18 as mandated: the 10
+    # late-r4 entries never driver-checked (their media/cuckoo modules
+    # also took the r5 untrusted-payload bound fixes, so doubly due)...
+    "png_pixel_decode",
+    "gif_pixel_decode",
+    "jpeg_pixel_decode",
+    "mp4_track_index",
+    "mp4_frame_index",
+    "mp3_frame_index",
+    "webm_frame_index",
+    "cuckoo_evict",
+    "media_pipeline",
+    "ogg_page_index",
+    # ...and the 9 whose green rows predate an r3/r4 rewrite of their
+    # operator (similarity head/IVF re-layout; multimodal strict-decode
+    # split; robots RFC 9309 match target; politeness domain-grain
+    # budget) → old rows no longer vouch for the current code
+    "cosine_topk",
+    "dedup_embedding_neardup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frames",
+    "robots_filter",
+    "politeness_budget",
     # NEW in round 5 (H.264/HEVC Annex-B NAL indexes, VERDICT #4)
     "h264_nal_index",
     "hevc_nal_index",
@@ -128,32 +154,6 @@ _CHECK_FIRST = [
     "zip_entry_index",
     "docx_text_extract",
     "epub_text_extract",
-    # registered late in round 4 → never driver-checked; the media/cuckoo
-    # modules also took the r5 untrusted-payload bound fixes, so these are
-    # doubly due (VERDICT r4 "Next round" #1)
-    "png_pixel_decode",
-    "gif_pixel_decode",
-    "jpeg_pixel_decode",
-    "mp4_track_index",
-    "mp4_frame_index",
-    "mp3_frame_index",
-    "webm_frame_index",
-    "cuckoo_evict",
-    "media_pipeline",
-    "ogg_page_index",
-    # green rows predate an r3/r4 rewrite of their operator (similarity
-    # head/IVF re-layout; multimodal strict-decode split; robots RFC 9309
-    # match target; politeness domain-grain budget) → old rows no longer
-    # vouch for the current code
-    "cosine_topk",
-    "dedup_embedding_neardup",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frames",
-    "robots_filter",
-    "politeness_budget",
     # oldest surviving green rows: the r2 trio, then r3 rows in registry
     # order (all other entries hold an unchanged-code r4 green row)
     "pricing_summary",
