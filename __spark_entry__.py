@@ -154,6 +154,8 @@ _CHECK_FIRST = [
     "zip_entry_index",
     "docx_text_extract",
     "epub_text_extract",
+    "xlsx_text_extract",
+    "tar_entry_index",
     # oldest surviving green rows: the r2 trio, then r3 rows in registry
     # order (all other entries hold an unchanged-code r4 green row)
     "pricing_summary",

@@ -141,6 +141,8 @@ HEADLINE = [
     "zip_entry_index",
     "docx_text_extract",
     "epub_text_extract",
+    "xlsx_text_extract",
+    "tar_entry_index",
 ]
 
 

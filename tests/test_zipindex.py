@@ -259,3 +259,100 @@ def test_epub_stage(spark):
         assert got == _expected_chapters(d), d
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# XLSX (SpreadsheetML shared strings + sheet cells)
+# ---------------------------------------------------------------------------
+
+from web_scraper_spark.operators.zipindex import (  # noqa: E402
+    _a1_to_rc,
+    parse_xlsx_cells,
+    synth_xlsx,
+    synth_xlsx_n_rows,
+    with_synth_xlsx,
+    xlsx_text_extract,
+)
+
+
+def _expected_cells(doc_id: int):
+    exp = []
+    for r in range(synth_xlsx_n_rows(doc_id)):
+        exp.append((f"A{r + 1}", r, 0, "s", f"doc {doc_id} r {r}"))
+        exp.append((f"B{r + 1}", r, 1, "n", str(10 * doc_id + r)))
+    return exp
+
+
+def test_a1_reference_parsing():
+    assert _a1_to_rc(b"A1") == (0, 0)
+    assert _a1_to_rc(b"B2") == (1, 1)
+    assert _a1_to_rc(b"AA10") == (9, 26)  # base-26 letters
+    assert _a1_to_rc(b"1A") is None
+    assert _a1_to_rc(b"A0") is None
+    assert _a1_to_rc(b"ZZZ") is None
+
+
+def test_xlsx_cell_parity():
+    # column A goes through shared-string indirection (last <si> split
+    # into two <r> runs); column B is literal numerics
+    for doc_id in range(32):
+        assert parse_xlsx_cells(synth_xlsx(doc_id)) == _expected_cells(
+            doc_id
+        ), doc_id
+
+
+def test_xlsx_dangling_shared_string_refused():
+    data = synth_xlsx(1)
+    sheet = extract_zip_member(data, "xl/worksheets/sheet1.xml")
+    bad_sheet = sheet.replace(b"<v>0</v>", b"<v>999</v>", 1)
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    blob = comp.compress(bad_sheet) + comp.flush()
+    ents = parse_zip_entries(data)
+    rebuilt = []
+    for _i, name, method, csize, _us, _crc, _lfh, doff in ents:
+        if name == "xl/worksheets/sheet1.xml":
+            rebuilt.append((name.encode(), 8, blob, bad_sheet))
+        else:
+            rebuilt.append(
+                (name.encode(), method, data[doff : doff + csize],
+                 extract_zip_member(data, name))
+            )
+    assert parse_xlsx_cells(_zip_build(rebuilt)) is None
+
+
+def test_xlsx_inline_str_and_empty_cells():
+    sheet = (
+        b'<?xml version="1.0"?><worksheet><sheetData>'
+        b'<row r="1"><c r="A1" t="inlineStr"><is><t>in&amp;line</t></is></c>'
+        b'<c r="B1" s="2"/></row></sheetData></worksheet>'
+    )
+    arch = _zip_build([(b"xl/worksheets/sheet1.xml", 0, sheet, sheet)])
+    # no sharedStrings member at all: inline/numeric paths still work
+    assert parse_xlsx_cells(arch) == [("A1", 0, 0, "inlineStr", "in&line")]
+
+
+def test_xlsx_truncation_and_fuzz_never_raise():
+    d = synth_xlsx(7)
+    for cut in range(0, len(d), 5):
+        parse_xlsx_cells(d[:cut])
+    rng = random.Random(11)
+    for _ in range(200):
+        parse_xlsx_cells(
+            bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        )
+
+
+def test_xlsx_stage(spark):
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = xlsx_text_extract(with_synth_xlsx(docs))
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in range(24):
+        got = [
+            (r.cell_ref, r.row_idx, r.col_idx, r.kind, r.text)
+            for r in sorted(by_doc[d], key=lambda r: (r.row_idx, r.col_idx))
+        ]
+        assert got == _expected_cells(d), d
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -56,6 +56,8 @@ HEADLINE = [
     ("pdf_text_extract", "page-tree walk + stream slice + text-operator tokenizer fused in ONE Arrow stage; only decoded text rows exit, bytes never shuffle"),
     ("docx_text_extract", "central-directory lookup + capped member deflate + WordprocessingML parse in ONE Arrow stage; paragraphs exit narrow"),
     ("epub_text_extract", "container->OPF->spine->XHTML chain entirely inside the same single Arrow stage; reading-order chapters exit narrow"),
+    ("xlsx_text_extract", "sharedStrings + sheet inflation and t=\"s\" indirection resolved in-row in one Arrow stage; cells exit narrow"),
+    ("tar_entry_index", "512-grid header walk with checksum verification in one Arrow pass; extents exit narrow, payload never shuffles"),
 ]
 
 

@@ -113,6 +113,8 @@ def sniff_media_format(data: Column) -> Column:
         .when(pre(4) == F.lit(b"fLaC"), F.lit("flac"))
         .when(pre(5) == F.lit(b"%PDF-"), F.lit("pdf"))
         .when(pre(4) == F.lit(b"PK\x03\x04"), F.lit("zip"))
+        # ustar magic sits at byte offset 257, not 0
+        .when(F.substring(data, 258, 5) == F.lit(b"ustar"), F.lit("tar"))
         .when(pre(3) == F.lit(b"ID3"), F.lit("mp3"))
         .when(pre(2) == F.lit(b"\xff\xfb"), F.lit("mp3"))
         .when(pre(2) == F.lit(b"BM"), F.lit("bmp"))

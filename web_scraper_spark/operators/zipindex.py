@@ -70,6 +70,10 @@ __all__ = [
     "epub_text_extract",
     "synth_epub",
     "with_synth_epub",
+    "parse_xlsx_cells",
+    "xlsx_text_extract",
+    "synth_xlsx",
+    "with_synth_xlsx",
 ]
 
 _EOCD_SIG = b"PK\x05\x06"
@@ -567,3 +571,182 @@ def epub_text_extract(
             )
 
     return df.mapInPandas(run, schema=_EPUB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# XLSX cell text (SpreadsheetML: shared strings + sheet cell walk)
+# ---------------------------------------------------------------------------
+
+_SI_RE = re.compile(rb"<si>(.*?)</si>", re.S)
+_T_RE = re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+_CELL_RE = re.compile(rb'<c\s([^>]*?)(?:/>|>(.*?)</c>)', re.S)
+_ATTR_R_RE = re.compile(rb'\br="([A-Z]+\d+)"')
+_ATTR_T_RE = re.compile(rb'\bt="([^"]+)"')
+_V_RE = re.compile(rb"<v>(.*?)</v>", re.S)
+
+
+def _a1_to_rc(ref: bytes):
+    """A1-style cell reference -> 0-based (row, col)."""
+    i = 0
+    while i < len(ref) and 65 <= ref[i] <= 90:
+        i += 1
+    if i == 0 or i == len(ref):
+        return None
+    col = 0
+    for k in range(i):
+        col = col * 26 + (ref[k] - 64)
+    try:
+        row = int(ref[i:])
+    except ValueError:
+        return None
+    if row < 1:
+        return None
+    return row - 1, col - 1
+
+
+def parse_xlsx_cells(data: bytes):
+    """Rows ``(cell_ref, row_idx, col_idx, kind, text)`` from
+    ``xl/worksheets/sheet1.xml`` — SpreadsheetML's split layout
+    resolved: ``t="s"`` cells point into ``xl/sharedStrings.xml``
+    (``<si>`` items, ``<r>`` runs concatenated), ``t="inlineStr"``
+    carries its ``<is><t>``, everything else is the literal ``<v>``
+    (numeric kind). ``None`` when the archive or sheet is unreadable;
+    a shared-string index out of range refuses the document rather
+    than emitting wrong text."""
+    sheet = extract_zip_member(data, "xl/worksheets/sheet1.xml")
+    if sheet is None:
+        return None
+    shared: list[bytes] = []
+    ss = extract_zip_member(data, "xl/sharedStrings.xml")
+    if ss is not None:
+        for si in _SI_RE.findall(ss):
+            shared.append(b"".join(_T_RE.findall(si)))
+    rows = []
+    for m in _CELL_RE.finditer(sheet):
+        attrs, body = m.group(1), m.group(2) or b""
+        rm = _ATTR_R_RE.search(attrs)
+        if rm is None:
+            return None  # r-less cells would mis-place data: refuse
+        rc = _a1_to_rc(rm.group(1))
+        if rc is None:
+            return None
+        tm = _ATTR_T_RE.search(attrs)
+        kind = tm.group(1).decode() if tm is not None else "n"
+        if kind == "s":
+            vm = _V_RE.search(body)
+            if vm is None:
+                return None
+            try:
+                idx = int(vm.group(1))
+            except ValueError:
+                return None
+            if not 0 <= idx < len(shared):
+                return None  # dangling shared-string pointer
+            text = shared[idx]
+        elif kind == "inlineStr":
+            text = b"".join(_T_RE.findall(body))
+        else:
+            vm = _V_RE.search(body)
+            if vm is None:
+                continue  # empty styled cell: nothing to emit
+            text = vm.group(1)
+        rows.append(
+            (
+                rm.group(1).decode(),
+                rc[0],
+                rc[1],
+                kind,
+                _xml_unescape(text).decode("utf-8", "replace"),
+            )
+        )
+    return rows
+
+
+def synth_xlsx_n_rows(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def synth_xlsx(doc_id: int) -> bytes:
+    """A minimal deterministic XLSX: deflated sharedStrings with one
+    ``<si>`` per sheet row (text ``doc D r R``, the last one split
+    into two ``<r>`` runs), and a deflated sheet1 whose column A cells
+    are ``t="s"`` pointers and column B cells numeric ``10*id + r``."""
+    n = synth_xlsx_n_rows(doc_id)
+    sis = []
+    for r in range(n):
+        body = f"doc {doc_id} r {r}"
+        if r == n - 1:  # exercise run concatenation
+            sis.append(
+                f"<si><r><t>{body[: len(body) // 2]}</t></r>"
+                f"<r><t xml:space=\"preserve\">{body[len(body) // 2 :]}</t></r></si>"
+            )
+        else:
+            sis.append(f"<si><t>{body}</t></si>")
+    ss = (
+        '<?xml version="1.0"?><sst count="%d">%s</sst>' % (n, "".join(sis))
+    ).encode()
+    cells = []
+    for r in range(n):
+        cells.append(f'<row r="{r + 1}"><c r="A{r + 1}" t="s"><v>{r}</v></c>'
+                     f'<c r="B{r + 1}"><v>{10 * doc_id + r}</v></c></row>')
+    sheet = (
+        '<?xml version="1.0"?><worksheet><sheetData>%s</sheetData></worksheet>'
+        % "".join(cells)
+    ).encode()
+
+    def _deflate(plain: bytes):
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return c.compress(plain) + c.flush()
+
+    ct = b'<?xml version="1.0"?><Types/>'
+    return _zip_build(
+        [
+            (b"[Content_Types].xml", 0, ct, ct),
+            (b"xl/sharedStrings.xml", 8, _deflate(ss), ss),
+            (b"xl/worksheets/sheet1.xml", 8, _deflate(sheet), sheet),
+        ]
+    )
+
+
+def with_synth_xlsx(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_xlsx(int(i)) for i in ids])
+
+    return df.withColumn("data", _synth(F.col(id_col)))
+
+
+_XLSX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("cell_ref", StringType(), False),
+        StructField("row_idx", IntegerType(), False),
+        StructField("col_idx", IntegerType(), False),
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+
+def xlsx_text_extract(
+    df: DataFrame, data_col: str = "data", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per sheet1 cell with shared strings resolved —
+    distributed XLSX → tabular text. One Arrow pass; unreadable
+    workbooks emit nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, v in zip(b[id_col], b[data_col]):
+                cells = parse_xlsx_cells(bytes(v)) if v is not None else None
+                for ref, ri, ci, kind, text in cells or ():
+                    rows.append((int(d), ref, ri, ci, kind, text))
+            yield pd.DataFrame.from_records(
+                rows, columns=[f.name for f in _XLSX_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=_XLSX_SCHEMA)

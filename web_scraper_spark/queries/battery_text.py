@@ -3685,3 +3685,69 @@ def q_epub_text_extract(spark, sf_dir):
         "doc_id"
     )
     return epub_text_extract(with_synth_epub(docs))
+
+
+@q(
+    "xlsx_text_extract",
+    # Closed-form oracle for the SpreadsheetML walk: n = 2+id%3 sheet
+    # rows, column A = shared-string pointers to "doc D r R" (the last
+    # <si> split into two <r> runs the engine must concatenate),
+    # column B = literal numerics 10*id+r. The engine must inflate
+    # BOTH members, resolve t="s" indirection, and parse A1 refs.
+    """
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n
+               FROM documents WHERE doc_id < 64)
+    SELECT doc_id, ('A' || (r.r + 1)) AS cell_ref, r.r::INT AS row_idx,
+           0::INT AS col_idx, 's' AS kind,
+           ('doc ' || doc_id || ' r ' || r.r) AS text
+    FROM d, unnest(generate_series(0, d.n - 1)) AS r(r)
+    UNION ALL
+    SELECT doc_id, ('B' || (r.r + 1)), r.r::INT, 1::INT, 'n',
+           (10 * doc_id + r.r)::VARCHAR
+    FROM d, unnest(generate_series(0, d.n - 1)) AS r(r)
+    """,
+)
+def q_xlsx_text_extract(spark, sf_dir):
+    """Distributed XLSX → tabular text (operators/zipindex.py):
+    capped-deflate of sharedStrings + sheet1, t="s" indirection
+    resolved (dangling pointers refuse the document), A1 refs parsed
+    to row/col — completes the OOXML family next to
+    docx_text_extract."""
+    from ..operators.zipindex import with_synth_xlsx, xlsx_text_extract
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return xlsx_text_extract(with_synth_xlsx(docs))
+
+
+@q(
+    "tar_entry_index",
+    # Closed-form oracle for the ustar walk: n = 2+id%4 members
+    # "m{i}.txt" of 10+(id*3+i*7)%30 bytes — all under one data block,
+    # so header i sits at exactly 1024*i and data at 1024*i+512. The
+    # engine must parse octal sizes and verify every header checksum
+    # (checksum field counted as spaces) to reproduce the rows.
+    """
+    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n
+               FROM documents WHERE doc_id < 64)
+    SELECT doc_id, i.i::INT AS entry_idx,
+           ('m' || i.i || '.txt') AS name,
+           (10 + (doc_id * 3 + i.i * 7) % 30)::BIGINT AS size,
+           '0' AS typeflag,
+           (1024 * i.i)::BIGINT AS header_off,
+           (1024 * i.i + 512)::BIGINT AS data_off
+    FROM d, unnest(generate_series(0, d.n - 1)) AS i(i)
+    """,
+)
+def q_tar_entry_index(spark, sf_dir):
+    """REAL POSIX-ustar archive walk (operators/tarindex.py): 512-byte
+    headers, octal size fields, per-header checksum verification,
+    512-grid member skips — per-member byte extents for .tar dataset
+    dumps, synthesized archives cross-validated by stdlib tarfile."""
+    from ..operators.tarindex import tar_entry_index, with_synth_tar
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id"
+    )
+    return tar_entry_index(with_synth_tar(docs))
