@@ -29,17 +29,28 @@ def stages():
         pdf_text_extract,
         with_synth_pdf_text,
     )
+    from web_scraper_spark.operators.tarindex import (
+        tar_entry_index,
+        with_synth_tar,
+    )
     from web_scraper_spark.operators.zipindex import (
         docx_text_extract,
+        epub_text_extract,
         with_synth_docx,
+        with_synth_epub,
+        with_synth_xlsx,
         with_synth_zip,
+        xlsx_text_extract,
         zip_entry_index,
     )
 
     return [
         ("pdf_text_extract", with_synth_pdf_text, pdf_text_extract),
         ("docx_text_extract", with_synth_docx, docx_text_extract),
+        ("epub_text_extract", with_synth_epub, epub_text_extract),
+        ("xlsx_text_extract", with_synth_xlsx, xlsx_text_extract),
         ("zip_entry_index", with_synth_zip, zip_entry_index),
+        ("tar_entry_index", with_synth_tar, tar_entry_index),
     ]
 
 
