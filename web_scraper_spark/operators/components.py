@@ -47,46 +47,62 @@ def connected_components(
     convergence job). For typical dedup graphs (dense near-cliques)
     this is 2-3 iterations; ``max_iter`` bounds adversarial chains.
     """
+    # materialize the narrow edge projection before the symmetric
+    # union: both union branches scan it, so an expensive upstream
+    # (LSH banding, the hreflang HTML parse) would otherwise run twice
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     # undirected: union both directions so every endpoint appears as
     # `src` and one min-aggregate covers the whole neighborhood
+    # one extra up-front shuffle to pin the (constant, largest) join
+    # side on the per-iteration join key: every iteration joins sym on
+    # ``dst``, and a dst-partitioned cache lets the planner skip sym's
+    # exchange each round — only the (smaller, changing) labels side
+    # shuffles per iteration
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
         .persist()
     )
+    # iteration 1 fused into initialization: with identity labels the
+    # neighborhood minimum of node v is just least(v, min(neighbors)),
+    # so one groupBy replaces the node-list distinct PLUS the first
+    # propagate round's join
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=False)
     )
 
-    for _ in range(max_iter):
-        # per node: min(own label, labels of neighbors)
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("n_min"))
+    for _ in range(max_iter - 1):
+        # one propagate round in TWO shuffles: join neighbor labels in
+        # (on the dst key sym is pre-partitioned by), then union the
+        # node's own label and take one min-aggregate — the own-label
+        # branch both closes the neighborhood and keeps degree-0 nodes.
+        # The change flag rides the same aggregate (own label recovered
+        # via the `own` marker), and the NON-eager localCheckpoint is
+        # materialized by the count itself — ONE Spark job per
+        # iteration does relabel + lineage break + convergence check.
+        contrib = sym.join(labels, sym.dst == labels.node).select(
+            "src", "component", F.lit(False).alias("__own")
         )
-        # the change flag rides along in the relabel projection (the
-        # old component is already in the join), and the NON-eager
-        # localCheckpoint is materialized by the count itself — ONE
-        # Spark job per iteration does relabel + lineage break +
-        # convergence check, instead of a checkpoint job plus an extra
-        # join+filter+count job
+        own = labels.select(
+            F.col("node").alias("src"), "component", F.lit(True).alias("__own")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("n_min", F.col("component"))
-                ).alias("component"),
+            contrib.unionByName(own)
+            .groupBy("src")
+            .agg(
+                F.min("component").alias("component"),
                 (
-                    F.coalesce("n_min", F.col("component")) < F.col("component")
+                    F.min("component")
+                    < F.max(F.when(F.col("__own"), F.col("component")))
                 ).alias("__changed"),
             )
+            .withColumnRenamed("src", "node")
             .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("__changed").count()

@@ -50,9 +50,14 @@ def pagination_chains(
     count). ``is_loop`` marks pages whose backward walk exceeded
     ``max_hops`` (a pagination cycle); their head is NULL.
     """
+    # Materialize the two-column projection once: `meta` is typically
+    # the output of the Arrow head-metadata parse over raw HTML, and it
+    # feeds THREE consumers below (the inversion agg, the node list,
+    # and — through resolve_redirects — the doubling loop). Without the
+    # lineage break each consumer would re-run the parse.
     pages = meta.select(
         F.col(url_col).alias("url"), F.col(next_col).alias("next_href")
-    )
+    ).localCheckpoint(eager=False)
     # invert: predecessor(u) = min page declaring next = u, u in input
     preds = (
         pages.filter(F.col("next_href").isNotNull())

@@ -60,14 +60,24 @@ def resolve_redirects(
     one equi-join shuffle on the url key, so a host-partitioned edge
     table keeps every pass co-located.
     """
+    # Materialize the narrow (src, to) projection ONCE: the doubling
+    # loop and the terminal `outgoing` probe both reuse it, and callers
+    # routinely derive `edges` from an expensive upstream stage (the
+    # Arrow head-metadata parse in operators/pagination.py) that must
+    # not be recomputed per pass. Two string columns — cheap to pin
+    # even at frontier scale.
+    eproj = edges.select(
+        F.col(url_col).alias("src"), F.col(to_col).alias("cur")
+    ).localCheckpoint(eager=False)
+
     # m: src, cur (next unresolved pointer; NULL = src itself terminal), hops
-    m = edges.select(
-        F.col(url_col).alias("src"),
-        F.col(to_col).alias("cur"),
-        F.when(F.col(to_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("hops"),
+    m = eproj.select(
+        "src",
+        "cur",
+        F.when(F.col("cur").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("hops"),
     )
     passes = max(1, (max_hops - 1).bit_length())  # ceil(log2(max_hops))
-    for i in range(passes):
+    for _ in range(passes):
         nxt = m.select(
             F.col("src").alias("__j_src"),
             F.col("cur").alias("__j_cur"),
@@ -90,22 +100,34 @@ def resolve_redirects(
                 )
                 .otherwise(F.col("hops"))
                 .alias("hops"),
+                # did any pointer advance this pass? drives early stop
+                (F.col("cur").isNotNull() & F.col("__j_cur").isNotNull()).alias(
+                    "__adv"
+                ),
             )
             # cap accumulated hops so cycles cannot grow counters unboundedly
             .withColumn(
                 "hops",
                 F.least(F.col("hops"), F.lit(max_hops + 1)),
             )
+            # one job per pass: the advanced-count below materializes
+            # this non-eager checkpoint, breaking lineage every pass
+            # (the self-join otherwise doubles the plan per pass) and
+            # stopping as soon as a pass moves nothing — log2(actual
+            # longest chain) passes, not log2(max_hops)
+            .localCheckpoint(eager=False)
         )
-        if i % 2 == 1:  # bound lineage depth on long caps
-            m = m.localCheckpoint(eager=False)
+        advanced = m.filter("__adv").count()
+        m = m.drop("__adv")
+        if advanced == 0:
+            break
 
     # terminal src: cur is NULL (never redirected) -> final = src, hops 0.
     # resolved chain: cur points at a URL with no outgoing edge -> after
     # doubling, cur stopped advancing; a cur that still has an outgoing
     # edge after `passes` doublings exceeded max_hops -> loop.
-    outgoing = edges.filter(F.col(to_col).isNotNull()).select(
-        F.col(url_col).alias("__o_src"), F.lit(True).alias("__redirects_on")
+    outgoing = eproj.filter(F.col("cur").isNotNull()).select(
+        F.col("src").alias("__o_src"), F.lit(True).alias("__redirects_on")
     )
     resolved = (
         m.join(outgoing, m["cur"] == outgoing["__o_src"], "left")

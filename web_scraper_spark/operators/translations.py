@@ -21,7 +21,7 @@ their cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .components import connected_components
@@ -49,9 +49,11 @@ def hreflang_clusters(
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
     )
     comp = connected_components(edges)
-    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return comp.join(sizes, "component").select(
+    # size via a count window — one shuffle on the cluster key instead
+    # of a separate aggregate plus a join back
+    w = Window.partitionBy("component")
+    return comp.select(
         F.col("node").alias("url"),
         F.col("component").alias("cluster"),
-        "cluster_size",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )

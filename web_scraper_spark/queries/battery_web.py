@@ -971,7 +971,12 @@ def q_pagination_chains(spark, sf_dir):
         F.lit("<html><head><title>L</title>\n"), nxt, prv,
         F.lit("</head><body>list</body></html>"),
     )
-    pages = ev.select(url.alias("url"), html.alias("html"))
+    # the events parquet is one small file -> one input split; spread
+    # the synthetic pages across the cores before the regex parse (at
+    # corpus scale the HTML table is many splits and this is free)
+    pages = ev.select(url.alias("url"), html.alias("html")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     meta = parse_head_meta(pages)
     return pagination_chains(meta).select(
         "url", "chain_head", "position", "chain_len", "is_loop"
@@ -1035,7 +1040,11 @@ def q_hreflang_clusters(spark, sf_dir):
         F.lit("</head><body>t</body></html>"),
     )
     url = F.concat(site, F.lit("/"), lang, F.lit("/g"), gs)
-    pages = ev.select(url.alias("url"), html.alias("html"))
+    # single-file parquet input -> single split; parallelize the
+    # synthetic-HTML regex parse (free at corpus scale, see above)
+    pages = ev.select(url.alias("url"), html.alias("html")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     meta = parse_head_meta(pages)
     return hreflang_clusters(meta).select("url", "cluster", "cluster_size")
 
