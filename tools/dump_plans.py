@@ -45,10 +45,10 @@ HEADLINE = [
     ("adts_frame_index", "56-bit header walk in one Arrow pass; frame_len field tiles the stream so the walk is O(frames), not O(bytes) rescans"),
     ("mpegts_packet_index", "fixed 188-byte grid: the demux layer is pure byte-extent arithmetic in one Arrow pass; PID filter + extent concat rebuilds any elementary stream"),
     ("feed_parse", "parse stage (post fixture-render aggregate) is a narrow regexp block pull + explode + two try_to_timestamp grammars — zero Python, data-proportional"),
-    ("head_metadata", "two-level regex (tag pull → attr extraction) fused into ONE codegen projection over the page scan — zero shuffle, zero Python"),
+    ("head_metadata", "tag explode → per-tag codegen regex attrs → one map-side-combinable groupBy (attr strings only, never HTML) — zero Python, HOF-free hot path"),
     ("jsonld_extract", "regex block pull + posexplode + get_json_object projections in one narrow stage; only the small JSON blocks survive the HTML scan"),
-    ("pagination_chains", "predecessor inversion = one hash agg; then log2(max_hops) pointer-doubling equi-joins on the url key + one chain-length agg — never a row-at-a-time walk"),
-    ("hreflang_clusters", "hreflang explode → min-label component iterations (edge-proportional equi-joins, lineage-broken) → one size agg"),
+    ("pagination_chains", "predecessor inversion = one hash agg; then early-stopping pointer-doubling equi-joins (log2 of the actual longest chain) + one chain-length agg — never a row-at-a-time walk"),
+    ("hreflang_clusters", "hreflang explode → min-label components (iter 1 fused into init, 2-shuffle rounds on a dst-partitioned edge cache) → size via count window"),
     ("mirror_hosts", "distinct (fp,host) agg → boilerplate cap drops >8-host fingerprints (bounds the pair join to C(8,2)/fp — the skew guard) → pair count + two size joins"),
     ("link_header_parse", "link-value pull + per-value attr regex + rel-token explode, all in one narrow codegen stage"),
     ("pdf_object_index", "classic-xref walk is one Arrow mapInPandas over the payload column; untrusted counts bounded before any loop, bytes never shuffle"),

@@ -26,14 +26,18 @@ Execution shape — explode + codegen regex + ONE aggregation:
    ``collect_list`` + ``array_sort``.
 
 Why not per-element lambdas (``F.transform``/``F.filter``) over the
-tag array — the zero-shuffle alternative? Higher-order functions run
-on the interpreted expression path, which both costs ~3x per row and
-serializes across executor threads (measured at sf0.1 on local[32]:
-the HOF formulation of this extraction ran 5.7 s on 32 cores vs
-0.75 s for this explode shape — near-zero intra-executor scaling).
-The one groupBy shuffle moves only extracted attribute strings (tens
-of bytes/tag), never the HTML, so at corpus scale it is noise next to
-the scan; first-wins and array results are map-side combinable.
+tag array — the zero-shuffle alternative this replaced? Higher-order
+functions evaluate on the interpreted expression path (~1.4x per row
+for the attribute regexes alone, benchkit/hof_scaling.py), and the
+lambda-shaped formulation compounds that: the first-wins helper and
+the array filters repeat whole transform subtrees that neither
+common-subexpression elimination nor column pruning can reach through
+lambda boundaries. Measured on the same sf0.1 input on local[32],
+the old formulation ran 4.5-5.7 s per pass on 32 cores vs 0.65-0.75 s
+for this explode shape (~7x). The one groupBy shuffle moves only
+extracted attribute strings (tens of bytes/tag), never the HTML, so
+at corpus scale it is noise next to the scan; first-wins and array
+results are map-side combinable.
 
 Output is one row per distinct ``url`` (the page key of every table
 this engine feeds); duplicate-url inputs merge first-wins by document
