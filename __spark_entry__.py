@@ -156,6 +156,19 @@ _CHECK_FIRST = [
     "epub_text_extract",
     "xlsx_text_extract",
     "tar_entry_index",
+    # changed THIS session (ADVICE r4: changed code stays in the
+    # check-first window): sitemap hint fields widened sitemap_parse's
+    # schema and added the new sitemap_hints entry; the
+    # connected-components loop and redirect pointer-doubling were
+    # rewritten (dedup_components/cluster_keep, redirect_resolve,
+    # canonical_collapse — pagination_chains/hreflang_clusters/
+    # head_metadata above already cover the headmeta rewrite)
+    "sitemap_hints",
+    "sitemap_parse",
+    "dedup_components",
+    "dedup_cluster_keep",
+    "redirect_resolve",
+    "canonical_collapse",
     # oldest surviving green rows: the r2 trio, then r3 rows in registry
     # order (all other entries hold an unchanged-code r4 green row)
     "pricing_summary",

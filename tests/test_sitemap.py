@@ -114,3 +114,52 @@ def test_non_seed_host_gets_discovered_rank(spark):
     from web_scraper_spark.operators.priority import DISCOVERED_SEED_RANK
 
     assert fe[0]["seed_rank"] == DISCOVERED_SEED_RANK
+
+
+def test_changefreq_priority_hints(spark):
+    from web_scraper_spark.operators.sitemap import changefreq_revisit_days
+
+    body = (
+        "<urlset>"
+        "<url><loc>https://h/p1</loc><changefreq> WEEKLY </changefreq>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>https://h/p2</loc><changefreq>sometimes</changefreq>"
+        "<priority>1.5</priority></url>"
+        "<url><loc>https://h/p3</loc><priority>abc</priority></url>"
+        "<url><loc>https://h/p4</loc><changefreq>never</changefreq>"
+        "<priority>1.0</priority></url>"
+        "</urlset>"
+        "<sitemapindex><sitemap><loc>https://h/child.xml</loc>"
+        "<changefreq>daily</changefreq><priority>0.5</priority>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://h/sitemap.xml", body)], "url string, body string"
+    )
+    out = parse_sitemap_entries(df)
+    rows = {r["loc"]: r for r in out.collect()}
+    # valid token lowercased; in-range priority kept
+    assert rows["https://h/p1"]["changefreq"] == "weekly"
+    assert rows["https://h/p1"]["priority"] == 0.8
+    # invalid token and out-of-range priority both NULL (no clamping)
+    assert rows["https://h/p2"]["changefreq"] is None
+    assert rows["https://h/p2"]["priority"] is None
+    # unparseable priority NULL; absent changefreq NULL
+    assert rows["https://h/p3"]["changefreq"] is None
+    assert rows["https://h/p3"]["priority"] is None
+    # boundary 1.0 kept
+    assert rows["https://h/p4"]["priority"] == 1.0
+    # hint fields are page-entry-only: sitemap rows stay NULL
+    child = rows["https://h/child.xml"]
+    assert child["kind"] == "sitemap"
+    assert child["changefreq"] is None and child["priority"] is None
+    # revisit mapping: sub-daily -> 0, never/unknown/NULL -> NULL
+    m = {
+        r["loc"]: r["d"]
+        for r in out.select(
+            "loc", changefreq_revisit_days(out["changefreq"]).alias("d")
+        ).collect()
+    }
+    assert m["https://h/p1"] == 7
+    assert m["https://h/p2"] is None
+    assert m["https://h/p4"] is None

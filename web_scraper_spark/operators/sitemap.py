@@ -32,10 +32,14 @@ from .priority import (
 __all__ = [
     "parse_sitemap_entries",
     "sitemap_frontier_entries",
+    "changefreq_revisit_days",
     "URL_BLOCK_RE",
     "SITEMAP_BLOCK_RE",
     "LOC_RE",
     "LASTMOD_RE",
+    "CHANGEFREQ_RE",
+    "PRIORITY_RE",
+    "CHANGEFREQ_TOKENS",
 ]
 
 # (?s) so a block may span lines; non-greedy so adjacent blocks never
@@ -44,6 +48,14 @@ URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
 SITEMAP_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
 LOC_RE = r"(?s)<loc>\s*([^<]*?)\s*</loc>"
 LASTMOD_RE = r"(?s)<lastmod>\s*([^<]*?)\s*</lastmod>"
+CHANGEFREQ_RE = r"(?s)<changefreq>\s*([^<]*?)\s*</changefreq>"
+PRIORITY_RE = r"(?s)<priority>\s*([^<]*?)\s*</priority>"
+
+# sitemaps.org <changefreq> vocabulary; anything else is publisher
+# garbage and parses to NULL rather than a guess
+CHANGEFREQ_TOKENS = (
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+)
 
 
 def parse_sitemap_entries(
@@ -59,6 +71,14 @@ def parse_sitemap_entries(
     string (NULL when absent); ``lastmod_date`` is its ``try_cast`` to
     date (NULL when unparseable — one bad value must not kill a round).
     Entries with an empty ``<loc>`` are dropped.
+
+    The optional sitemaps.org hint fields ride along: ``changefreq``
+    (trimmed + lowercased, NULL unless one of the seven spec tokens)
+    and ``priority`` (``try_cast`` to double, NULL when absent,
+    unparseable, or outside the spec's [0.0, 1.0] range — crawlers
+    must not let a publisher bid priority 9000). Both are NULL on
+    ``kind='sitemap'`` rows (the spec defines them for page entries
+    only).
     """
     body = F.col(body_col)
     blocks = F.concat(
@@ -71,6 +91,13 @@ def parse_sitemap_entries(
             lambda b: F.struct(F.lit("sitemap").alias("kind"), b.alias("block")),
         ),
     )
+    is_url = F.col("e.kind") == "url"
+    cf_raw = F.lower(
+        F.trim(F.regexp_extract(F.col("e.block"), CHANGEFREQ_RE, 1))
+    )
+    pr_raw = F.regexp_extract(F.col("e.block"), PRIORITY_RE, 1).try_cast(
+        "double"
+    )
     exploded = sitemaps.select(
         F.col(url_col).alias("sitemap_url"), F.explode(blocks).alias("e")
     ).select(
@@ -81,9 +108,33 @@ def parse_sitemap_entries(
             F.regexp_extract(F.col("e.block"), LASTMOD_RE, 1) != "",
             F.regexp_extract(F.col("e.block"), LASTMOD_RE, 1),
         ).alias("lastmod"),
+        F.when(is_url & cf_raw.isin(*CHANGEFREQ_TOKENS), cf_raw).alias(
+            "changefreq"
+        ),
+        F.when(
+            is_url & (pr_raw >= 0.0) & (pr_raw <= 1.0), pr_raw
+        ).alias("priority"),
     )
     return exploded.filter(F.col("loc") != "").withColumn(
         "lastmod_date", F.substring("lastmod", 1, 10).try_cast("date")
+    )
+
+
+def changefreq_revisit_days(changefreq) -> "F.Column":
+    """Map a validated ``changefreq`` token to a revisit interval in
+    days for the adaptive re-crawl scheduler (operators/revisit.py):
+    sub-daily tokens mean "check every round" (0), ``never`` means no
+    hint-driven revisit (NULL — the change-rate MLE still applies; a
+    publisher's 'never' is a prior, not a promise), and unknown/NULL
+    tokens yield NULL so garbage hints never schedule anything."""
+    c = changefreq if not isinstance(changefreq, str) else F.col(changefreq)
+    return (
+        F.when(c.isin("always", "hourly"), F.lit(0))
+        .when(c == "daily", F.lit(1))
+        .when(c == "weekly", F.lit(7))
+        .when(c == "monthly", F.lit(30))
+        .when(c == "yearly", F.lit(365))
+        .cast("int")
     )
 
 

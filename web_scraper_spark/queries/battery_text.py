@@ -729,6 +729,8 @@ def q_pii_scrub(spark, sf_dir):
            'url' AS kind,
            'https://shop' || h || '.example.com/order/' || o_orderkey AS loc,
            o_orderdate::VARCHAR AS lastmod,
+           NULL::VARCHAR AS changefreq,
+           NULL::DOUBLE AS priority,
            o_orderdate AS lastmod_date
     FROM o
     UNION ALL
@@ -736,6 +738,8 @@ def q_pii_scrub(spark, sf_dir):
            'sitemap' AS kind,
            'https://' || host || '/sitemap.xml' AS loc,
            NULL::VARCHAR AS lastmod,
+           NULL::VARCHAR AS changefreq,
+           NULL::DOUBLE AS priority,
            NULL::DATE AS lastmod_date
     FROM hosts
     """,
@@ -794,6 +798,107 @@ def q_sitemap_parse(spark, sf_dir):
         "body",
     ).unionByName(indexes)
     return parse_sitemap_entries(sitemaps)
+
+
+@q(
+    "sitemap_hints",
+    """
+    WITH e AS (SELECT event_id AS id FROM events)
+    SELECT 'https://sm' || (id % 20) || '.example.com/p/' || id AS loc,
+           CASE id % 9
+             WHEN 0 THEN 'always' WHEN 1 THEN 'hourly' WHEN 2 THEN 'daily'
+             WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly' WHEN 5 THEN 'yearly'
+             WHEN 6 THEN 'never' ELSE NULL
+           END AS changefreq,
+           CASE id % 5
+             WHEN 0 THEN 0.8 WHEN 1 THEN 1.0 ELSE NULL
+           END::DOUBLE AS priority,
+           CASE id % 9
+             WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 7
+             WHEN 4 THEN 30 WHEN 5 THEN 365 ELSE NULL
+           END::INT AS revisit_days
+    FROM e
+    """,
+)
+def q_sitemap_hints(spark, sf_dir):
+    """sitemaps.org hint fields end-to-end (operators/sitemap.py):
+    render per-host <urlset> docs whose entries carry <changefreq> and
+    <priority> in every spec-relevant shape — the seven valid tokens
+    (one UPPERCASED to pin the lowercase fold), an invalid token, a
+    missing tag, priorities in range, out of range (1.5 must parse to
+    NULL, not clamp silently), and unparseable — then parse them back
+    and map changefreq to the revisit-scheduler interval. The oracle
+    states every expected value in closed form from the id arithmetic,
+    so a validation or fold bug breaks the hash."""
+    from ..operators.sitemap import changefreq_revisit_days
+
+    ev = T(spark, sf_dir, "events")
+    e = F.col("event_id")
+    host = F.concat(F.lit("sm"), (e % 20).cast("string"), F.lit(".example.com"))
+    cf = (
+        F.when(e % 9 == 0, F.lit("always"))
+        .when(e % 9 == 1, F.lit("hourly"))
+        .when(e % 9 == 2, F.lit("daily"))
+        .when(e % 9 == 3, F.lit("WEEKLY"))  # parser must lowercase
+        .when(e % 9 == 4, F.lit("monthly"))
+        .when(e % 9 == 5, F.lit("yearly"))
+        .when(e % 9 == 6, F.lit("never"))
+        .when(e % 9 == 7, F.lit("sometimes"))  # invalid -> NULL
+    )  # e % 9 == 8: tag absent
+    cf_tag = F.when(
+        cf.isNotNull(),
+        F.concat(F.lit("  <changefreq> "), cf, F.lit(" </changefreq>\n")),
+    ).otherwise(F.lit(""))
+    pr = (
+        F.when(e % 5 == 0, F.lit("0.8"))
+        .when(e % 5 == 1, F.lit("1.0"))
+        .when(e % 5 == 2, F.lit("1.5"))  # out of spec range -> NULL
+        .when(e % 5 == 3, F.lit("abc"))  # unparseable -> NULL
+    )  # e % 5 == 4: tag absent
+    pr_tag = F.when(
+        pr.isNotNull(),
+        F.concat(F.lit("  <priority>"), pr, F.lit("</priority>\n")),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url>\n  <loc>https://"),
+        host,
+        F.lit("/p/"),
+        e.cast("string"),
+        F.lit("</loc>\n"),
+        cf_tag,
+        pr_tag,
+        F.lit("</url>\n"),
+    )
+    sitemaps = (
+        ev.select(
+            host.alias("host"),
+            F.struct(e.alias("k"), entry.alias("e")).alias("s"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>\n"),
+                F.array_join(
+                    F.transform(F.sort_array(F.collect_list("s")), lambda s: s["e"]),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")
+            ).alias("url"),
+            "body",
+        )
+    )
+    parsed = parse_sitemap_entries(sitemaps)
+    return parsed.select(
+        "loc",
+        "changefreq",
+        "priority",
+        changefreq_revisit_days(F.col("changefreq")).alias("revisit_days"),
+    )
 
 
 @q(
