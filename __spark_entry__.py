@@ -164,6 +164,7 @@ _CHECK_FIRST = [
     # canonical_collapse — pagination_chains/hreflang_clusters/
     # head_metadata above already cover the headmeta rewrite)
     "sitemap_hints",
+    "doc_entropy",
     "sitemap_parse",
     "dedup_components",
     "dedup_cluster_keep",

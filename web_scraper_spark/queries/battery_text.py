@@ -902,6 +902,61 @@ def q_sitemap_hints(spark, sf_dir):
 
 
 @q(
+    "doc_entropy",
+    """
+    WITH d AS (SELECT doc_id AS id FROM documents),
+    p AS (
+      SELECT id,
+        (1 + id % 5)::DOUBLE AS x,
+        (1 + id % 3)::DOUBLE AS y
+      FROM d)
+    SELECT id AS doc_id,
+      CASE id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 + id % 7
+                  ELSE (x + y)::INT END::INT AS n_chars,
+      CASE id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END::INT
+        AS n_distinct_chars,
+      CASE id % 4
+        WHEN 0 THEN 0.0 WHEN 1 THEN 0.0
+        ELSE -(x/(x+y))*log2(x/(x+y)) - (y/(x+y))*log2(y/(x+y))
+      END::DOUBLE AS char_entropy
+    FROM p
+    """,
+)
+def q_doc_entropy(spark, sf_dir):
+    """Character-entropy quality signal end-to-end
+    (operators/entropy.py): render docs in four controlled shapes —
+    empty, single-symbol runs (entropy exactly 0, and the IEEE -0.0
+    fold is load-bearing), two-symbol ASCII mixes, and two-symbol
+    mixes led by a non-ASCII char (é — code-point counting, not
+    bytes) — then compute the signals in the Arrow stage. The oracle
+    states n_chars/distinct/entropy in CLOSED FORM from the id
+    arithmetic (the two-symbol Shannon formula), so a histogram,
+    length, or unicode bug breaks the hash. compress_ratio has no SQL
+    equivalent and is pinned by pytest instead."""
+    from ..operators.entropy import char_signal_features
+
+    docs = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    x = (1 + i % 5).cast("int")
+    y = (1 + i % 3).cast("int")
+    text = (
+        F.when(i % 4 == 0, F.lit(""))
+        .when(i % 4 == 1, F.repeat(F.lit("a"), (1 + i % 7).cast("int")))
+        .when(
+            i % 4 == 2,
+            F.concat(F.repeat(F.lit("a"), x), F.repeat(F.lit("b"), y)),
+        )
+        .otherwise(
+            F.concat(F.repeat(F.lit("é"), x), F.repeat(F.lit("a"), y))
+        )
+    )
+    rendered = docs.select("doc_id", text.alias("text"))
+    return char_signal_features(rendered).select(
+        "doc_id", "n_chars", "n_distinct_chars", "char_entropy"
+    )
+
+
+@q(
     "charset_decode",
     """
     SELECT doc_id,
