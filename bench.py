@@ -270,6 +270,22 @@ def main() -> int:
 
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+
+    def _calibrate() -> float | None:
+        # Spark-free host-speed stamp (same fixed regex work as
+        # benchkit/cpu_calibrate.py). Taken BEFORE and AFTER the timed
+        # section because the shared host swings ~2x within minutes
+        # (measured 256k -> 145k -> 285k pages/s over one morning);
+        # the pair brackets the window the queries actually ran in.
+        try:
+            from benchkit.cpu_calibrate import run_level
+
+            pages = 48_000
+            return round(pages / min(run_level(cpus, pages) for _ in range(2)), 1)
+        except Exception:
+            return None
+
+    calib_pre = _calibrate()
     total0 = time.monotonic()
 
     world_dir = build_bench_world(spark, n_hosts, yachts, cache)
@@ -318,6 +334,9 @@ def main() -> int:
         "repeats": repeats,
         "crawl_round_all_runs": [c["round_sec"] for c in crawls],
     }
+    out["calib_pages_per_sec_pre"] = calib_pre
+    out["calib_pages_per_sec_post"] = _calibrate()
+    out["calib_procs"] = cpus
     print(json.dumps(out))
     spark.stop()
     return 0
