@@ -45,6 +45,8 @@ HEADLINE = [
     ("adts_frame_index", "56-bit header walk in one Arrow pass; frame_len field tiles the stream so the walk is O(frames), not O(bytes) rescans"),
     ("mpegts_packet_index", "fixed 188-byte grid: the demux layer is pure byte-extent arithmetic in one Arrow pass; PID filter + extent concat rebuilds any elementary stream"),
     ("feed_parse", "parse stage (post fixture-render aggregate) is a narrow regexp block pull + explode + two try_to_timestamp grammars — zero Python, data-proportional"),
+    ("sitemap_hints", "changefreq/priority validation riding the native-regex sitemap explode — token whitelist + range gate, no Python"),
+    ("doc_entropy", "one Arrow mapInPandas pass for histogram+deflate signals — no per-char explode, no shuffle"),
     ("head_metadata", "tag explode → per-tag codegen regex attrs → one map-side-combinable groupBy (attr strings only, never HTML) — zero Python, HOF-free hot path"),
     ("jsonld_extract", "regex block pull + posexplode + get_json_object projections in one narrow stage; only the small JSON blocks survive the HTML scan"),
     ("pagination_chains", "predecessor inversion = one hash agg; then early-stopping pointer-doubling equi-joins (log2 of the actual longest chain) + one chain-length agg — never a row-at-a-time walk"),
