@@ -285,7 +285,16 @@ def main() -> int:
         except Exception:
             return None
 
+    def _cpu_snap() -> list[int] | None:
+        # aggregate jiffies: user nice system idle iowait irq softirq steal
+        try:
+            with open("/proc/stat") as fh:
+                return [int(x) for x in fh.readline().split()[1:9]]
+        except Exception:
+            return None
+
     calib_pre = _calibrate()
+    cpu0 = _cpu_snap()
     total0 = time.monotonic()
 
     world_dir = build_bench_world(spark, n_hosts, yachts, cache)
@@ -337,6 +346,17 @@ def main() -> int:
     out["calib_pages_per_sec_pre"] = calib_pre
     out["calib_pages_per_sec_post"] = _calibrate()
     out["calib_procs"] = cpus
+    # guest-visible hypervisor contention ACROSS the timed section —
+    # the idle-box calibration above cannot see steal that only
+    # appears under load. steal_pct is the share of all jiffies the
+    # host withheld while the queries ran; iowait_pct the share spent
+    # blocked on the virtio disk.
+    cpu1 = _cpu_snap()
+    if cpu0 and cpu1:
+        d = [b - a for a, b in zip(cpu0, cpu1)]
+        tot = sum(d) or 1
+        out["steal_pct"] = round(100.0 * d[7] / tot, 2)
+        out["iowait_pct"] = round(100.0 * d[4] / tot, 2)
     print(json.dumps(out))
     spark.stop()
     return 0
