@@ -165,6 +165,7 @@ _CHECK_FIRST = [
     # head_metadata above already cover the headmeta rewrite)
     "sitemap_hints",
     "doc_entropy",
+    "retry_after_parse",
     "sitemap_parse",
     "dedup_components",
     "dedup_cluster_keep",

@@ -172,3 +172,33 @@ def test_cache_control_parse(spark, cc, policy, age):
 def test_classify_url(spark, url, cls):
     df = spark.range(1).select(F.lit(url).alias("u"))
     assert df.select(classify_url(F.col("u")).alias("c")).first()["c"] == cls
+
+
+def test_retry_after_seconds(spark):
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.functions.http_headers import retry_after_seconds
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (1, "120"),
+        (2, " 0 "),
+        (3, "Fri, 31 Dec 1999 23:59:59 GMT"),   # 59s after now below
+        (4, "Wed, 01 Jan 1992 00:00:00 GMT"),   # past -> clamp 0
+        (5, "Sunday, 06-Nov-94 08:49:37 GMT"),  # obsolete RFC 850 -> NULL
+        (6, "soon"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, ra string").withColumn(
+        "now", F.to_timestamp(F.lit("1999-12-31 23:59:00"))
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", retry_after_seconds(F.col("ra"), F.col("now")).alias("s")
+        ).collect()
+    }
+    assert out[1] == 120 and out[2] == 0
+    assert out[3] == 59
+    assert out[4] == 0
+    assert out[5] is None and out[6] is None and out[7] is None

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["cache_max_age_s", "cache_directives", "next_fetch_after"]
+__all__ = [
+    "cache_max_age_s",
+    "cache_directives",
+    "next_fetch_after",
+    "retry_after_seconds",
+]
 
 _MAX_AGE_RE = r"(?i)(?:^|[,\s])max-age\s*=\s*(\d+)"
 _NO_STORE_RE = r"(?i)(?:^|[,\s])no-store(?:$|[,\s])"
@@ -66,6 +71,50 @@ def next_fetch_after(
         .otherwise(F.lit(default_s))
     )
     return F.timestamp_add("SECOND", delay.cast("int"), fetch_ts)
+
+
+# --- RFC 9110 Retry-After -------------------------------------------------
+# Retry-After: 120                              (delay-seconds)
+# Retry-After: Fri, 31 Dec 1999 23:59:59 GMT    (IMF-fixdate)
+# Servers attach it to 429/503 (and 3xx); a crawler that ignores it
+# hammers an origin that just asked for mercy — the parsed delay feeds
+# the retry/backoff scheduler as a HARD floor over its own estimate.
+
+_RETRY_DELAY_RE = r"^\s*(\d+)\s*$"
+# Spark forbids day-of-week symbols in PARSE patterns (SPARK-31892),
+# so the IMF-fixdate weekday prefix is stripped first and the rest
+# parsed with a weekday-free pattern. Formatting (date_format) may
+# still use EEE — the restriction is parse-only.
+_IMF_WEEKDAY_PREFIX_RE = r"^\s*[A-Za-z]{3},\s*"
+_IMF_DATE_TAIL_FMT = "dd MMM yyyy HH:mm:ss zzz"
+
+
+def retry_after_seconds(retry_after: Column, now: Column) -> Column:
+    """Seconds to wait per a ``Retry-After`` value, relative to ``now``
+    (a timestamp column; pass the response's receive time).
+
+    delay-seconds parses directly; an IMF-fixdate parses to
+    ``date - now`` clamped at 0 (a past date means "go now", RFC 9110
+    §10.2.3 — never negative backoff). The obsolete RFC 850/asctime
+    date forms and garbage yield NULL: an unparseable hint must not
+    schedule anything, the caller's own backoff estimate applies.
+    """
+    digits = F.regexp_extract(retry_after, _RETRY_DELAY_RE, 1)
+    as_date = F.try_to_timestamp(
+        F.regexp_replace(retry_after, _IMF_WEEKDAY_PREFIX_RE, ""),
+        F.lit(_IMF_DATE_TAIL_FMT),
+    )
+    return (
+        F.when(digits != "", digits.cast("long"))
+        .when(
+            as_date.isNotNull(),
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.unix_timestamp(as_date) - F.unix_timestamp(now)).cast("long"),
+            ),
+        )
+        .cast("long")
+    )
 
 
 # --- RFC 8288 Link header -------------------------------------------------

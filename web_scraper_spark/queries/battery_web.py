@@ -236,6 +236,52 @@ def q_cache_policy(spark, sf_dir):
 
 
 @q(
+    "retry_after_parse",
+    """
+    SELECT event_id,
+           CASE CAST(event_id % 5 AS INT)
+             WHEN 0 THEN CAST(100 + event_id % 300 AS BIGINT)
+             WHEN 1 THEN CAST(0 AS BIGINT)
+             WHEN 2 THEN CAST(event_id % 600 AS BIGINT)
+             WHEN 3 THEN CAST(0 AS BIGINT)
+           END AS retry_after_s
+    FROM events
+    """,
+)
+def q_retry_after_parse(spark, sf_dir):
+    """Beyond-ref: RFC 9110 Retry-After parsing
+    (functions/http_headers.py:retry_after_seconds) — the 429/503
+    backoff floor. Five header shapes: delay-seconds, zero, an
+    IMF-fixdate in the future (rendered by the engine with the
+    weekday name its parser must strip — Spark forbids day-of-week
+    parse patterns), an IMF-fixdate in the past (clamps to 0, never
+    negative backoff), and garbage (NULL). The oracle states the
+    expected seconds in closed form from the id arithmetic."""
+    from ..functions.http_headers import retry_after_seconds
+
+    e = T(spark, sf_dir, "events")
+    i = F.col("event_id")
+    m = i % 5
+    future = F.timestamp_add("SECOND", (i % 600).cast("int"), F.col("ts"))
+    past = F.timestamp_add("SECOND", F.lit(-3600), F.col("ts"))
+    fmt = "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+    header = (
+        F.when(m == 0, (F.lit(100) + i % 300).cast("string"))
+        .when(m == 1, F.lit("0"))
+        .when(m == 2, F.date_format(future, fmt))
+        .when(m == 3, F.date_format(past, fmt))
+        .otherwise(F.lit("soon"))
+    )
+    h = e.select("event_id", "ts", header.alias("retry_after"))
+    return h.select(
+        "event_id",
+        retry_after_seconds(F.col("retry_after"), F.col("ts")).alias(
+            "retry_after_s"
+        ),
+    )
+
+
+@q(
     "url_classify",
     """
     SELECT event_id,
