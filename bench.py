@@ -147,6 +147,9 @@ HEADLINE = [
     "epub_text_extract",
     "xlsx_text_extract",
     "tar_entry_index",
+    "sitemap_hints",
+    "doc_entropy",
+    "retry_after_parse",
 ]
 
 
