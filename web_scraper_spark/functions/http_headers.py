@@ -29,6 +29,7 @@ __all__ = [
     "cache_directives",
     "next_fetch_after",
     "retry_after_seconds",
+    "link_header_entries",
 ]
 
 _MAX_AGE_RE = r"(?i)(?:^|[,\s])max-age\s*=\s*(\d+)"
